@@ -7,8 +7,16 @@ the driver separately dry-runs the multi-chip path.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU for tests even when the environment points at a TPU: unit
+# tests exercise sharding on virtual CPU devices and must not pay the
+# remote-TPU compile round-trip.  The axon sitecustomize imports jax at
+# interpreter start, so env vars alone are too late — use config.update.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
