@@ -1,0 +1,168 @@
+"""MP-GenIC equivalent CLI: generate initial conditions from a paramfile.
+
+Usage: python -m mpgadget_tpu.genic.main <paramfile>
+Mirrors genic/main.c:22-287: per-species grid setup -> displacement
+fields -> thermal velocities -> bigfile IC.
+"""
+
+import os
+import sys
+import numpy as np
+
+from ..params import create_genic_parameter_set
+from ..cosmology import Cosmology
+from ..utils import get_unitsystem, constants as C
+from ..io.bigfile import BigFile
+from ..io import snapshot as snap_io
+from .power import PowerSpec, PowerParams, DELTA_BAR, DELTA_CDM, DELTA_CB
+from .zeldovich import generate_ic_species
+from .thermal import thermal_vel_disp, add_thermal_velocities
+
+
+def run_genic(paramfile_or_ps, override=None):
+    if isinstance(paramfile_or_ps, str):
+        ps = create_genic_parameter_set()
+        ps.parse_file(paramfile_or_ps)
+    else:
+        ps = paramfile_or_ps
+    for k, v in (override or {}).items():
+        ps.set(k, v)
+
+    units = get_unitsystem(ps["UnitLength_in_cm"], ps["UnitMass_in_g"],
+                           ps["UnitVelocity_in_cm_per_s"])
+    atime = 1.0 / (1 + ps["Redshift"])
+    cp = Cosmology(
+        Omega0=ps["Omega0"], OmegaBaryon=ps["OmegaBaryon"],
+        OmegaLambda=ps["OmegaLambda"], HubbleParam=ps["HubbleParam"],
+        CMBTemperature=ps["CMBTemperature"],
+        RadiationOn=bool(ps["RadiationOn"]),
+        MNu=(ps["MNue"], ps["MNum"], ps["MNut"]),
+        Omega_fld=ps["Omega_fld"], w0_fld=ps["w0_fld"],
+        wa_fld=ps["wa_fld"], Omega_ur=ps["Omega_ur"],
+        use_class_radiation_convention=bool(ps["CLASS_Radiation"]),
+        TimeBegin=atime,
+    ).init_units(units)
+
+    ppar = PowerParams(
+        FileWithInputSpectrum=ps["FileWithInputSpectrum"],
+        FileWithTransferFunction=ps["FileWithTransferFunction"],
+        DifferentTransferFunctions=bool(ps["DifferentTransferFunctions"]),
+        ScaleDepVelocity=(bool(ps["ScaleDepVelocity"])
+                          if ps["ScaleDepVelocity"] >= 0
+                          else bool(ps["DifferentTransferFunctions"])),
+        WhichSpectrum=ps["WhichSpectrum"], Sigma8=ps["Sigma8"],
+        InputPowerRedshift=ps["InputPowerRedshift"],
+        PrimordialIndex=ps["PrimordialIndex"])
+    pspec = PowerSpec(ppar, cp, atime, units.UnitLength_in_cm)
+
+    boxsize = ps["BoxSize"]
+    ngrid = ps["Ngrid"]
+    ngrid_gas = ps["NgridGas"] if ps["NgridGas"] > 0 else ngrid
+    nmesh = ps["Nmesh"] if ps["Nmesh"] > 0 else ngrid
+    produce_gas = bool(ps["ProduceGas"])
+    use_pec = bool(ps["UsePeculiarVelocity"])
+
+    # species masses: total matter split between CDM and gas
+    omega_cdm = cp.OmegaCDM
+    omega_b = cp.OmegaBaryon if produce_gas else 0.0
+    omegam_particles = cp.Omega0 - cp.ONu(1.0)  # particles carry cdm+b
+    vol = boxsize ** 3
+    rho = cp.RhoCrit * vol
+    if produce_gas:
+        mass_cdm = omega_cdm * rho / ngrid ** 3
+        mass_gas = cp.OmegaBaryon * rho / ngrid_gas ** 3
+        # offset grids by half mean separations (genic/main.c:62-78)
+        shift_cdm = 0.5 * boxsize / ngrid * 0.5
+        shift_gas = -0.5 * boxsize / ngrid_gas * 0.5
+        tcdm = DELTA_CDM if ppar.DifferentTransferFunctions else DELTA_CB
+        tgas = DELTA_BAR if ppar.DifferentTransferFunctions else DELTA_CB
+    else:
+        mass_cdm = omegam_particles * rho / ngrid ** 3
+        shift_cdm = 0.0
+        tcdm = DELTA_CB
+
+    outdir = ps["OutputDir"]
+    os.makedirs(outdir, exist_ok=True)
+    path = os.path.join(outdir, ps["FileBase"])
+    bf = BigFile(path, create=True)
+    ntot = np.zeros(6, np.uint64)
+    species = []
+
+    ic = generate_ic_species(
+        pspec, cp, seed=ps["Seed"], ngrid=ngrid, nmesh=nmesh,
+        boxsize=boxsize, atime=atime, ptype=tcdm, shift=shift_cdm,
+        unitary=bool(ps["UnitaryAmplitude"]),
+        invert=bool(ps["InvertPhase"]),
+        use_peculiar_velocity=use_pec,
+        scale_dep_velocity=ppar.ScaleDepVelocity)
+    species.append((1, ic, mass_cdm))
+    if produce_gas:
+        icg = generate_ic_species(
+            pspec, cp, seed=ps["Seed"], ngrid=ngrid_gas, nmesh=nmesh,
+            boxsize=boxsize, atime=atime, ptype=tgas, shift=shift_gas,
+            unitary=bool(ps["UnitaryAmplitude"]),
+            invert=bool(ps["InvertPhase"]),
+            use_peculiar_velocity=use_pec,
+            scale_dep_velocity=ppar.ScaleDepVelocity)
+        # gas IDs offset so they are unique
+        icg["pid"] = icg["pid"] + ngrid ** 3
+        species.append((0, icg, mass_gas))
+
+    if ps["MWDM_therm"] > 0:
+        vtherm = thermal_vel_disp_wdm(ps["MWDM_therm"], atime, cp,
+                                      units)
+        for t, ic_s, m in species:
+            if t == 1:
+                add_thermal_velocities(ic_s, vtherm, ps["Seed"] + 1,
+                                       atime, use_pec)
+
+    masstable = np.zeros(6)
+    for ptype, ic_s, mass in species:
+        n = len(ic_s["pid"])
+        ntot[ptype] = n
+        masstable[ptype] = mass
+        extra = {}
+        if ps["SavePrePos"]:
+            extra["PrePosition"] = ic_s["pre_pos"].astype("<f8")
+        snap_io.write_species(
+            bf, ptype, pos=ic_s["pos"],
+            vel=ic_s["vel"], pid=ic_s["pid"], atime=atime,
+            use_peculiar=use_pec, extra=extra)
+
+    hubble = cp.hubble_function(atime)
+    rsd = 1.0 / (atime * hubble)
+    if not use_pec:
+        rsd /= np.sqrt(atime)
+    header = snap_io.SnapshotHeader(
+        TotNumPart=ntot, MassTable=masstable, Time=atime, TimeIC=atime,
+        BoxSize=boxsize, Omega0=cp.Omega0, OmegaLambda=cp.OmegaLambda,
+        HubbleParam=cp.HubbleParam, OmegaBaryon=cp.OmegaBaryon,
+        CMBTemperature=cp.CMBTemperature,
+        UnitLength_in_cm=units.UnitLength_in_cm,
+        UnitMass_in_g=units.UnitMass_in_g,
+        UnitVelocity_in_cm_per_s=units.UnitVelocity_in_cm_per_s,
+        UsePeculiarVelocity=int(use_pec), RSDFactor=rsd,
+    )
+    snap_io.write_header(bf, header)
+    print(f"Wrote ICs to {path}: N = {ntot.tolist()}")
+    return path
+
+
+def thermal_vel_disp_wdm(mwdm_kev, atime, cp, units):
+    """WDM thermal velocity (thermal.h WDM_V0 analog)."""
+    omega_wdm = cp.OmegaCDM
+    h = cp.HubbleParam
+    v0 = (0.012 * (atime / 0.01) ** -1 * (omega_wdm / 0.3) ** (1.0 / 3)
+          * (h / 0.65) ** (2.0 / 3) * (1.0 / mwdm_kev) ** (4.0 / 3))
+    return v0 * 1e5 / units.UnitVelocity_in_cm_per_s
+
+
+def main():
+    if len(sys.argv) < 2:
+        print("Usage: python -m mpgadget_tpu.genic.main <paramfile>")
+        sys.exit(1)
+    run_genic(sys.argv[1])
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,98 @@
+"""MP-Gadget equivalent CLI.
+
+Usage: python -m mpgadget_tpu.main <paramfile> [RestartFlag [SnapNum]]
+(gadget/main.c:56-68).  RestartFlag: omitted = start from IC; 1 = resume
+from the last snapshot in Snapshots.txt; 2 <num> = restart from snapshot
+num; 3 <num> = run FOF on snapshot; 4 <num> = measure power spectrum.
+"""
+
+import os
+import sys
+import numpy as np
+
+from .params import create_gadget_parameter_set, parse_output_list
+from .timeline import Timeline
+from .timestep import TimestepParams
+from .run import Simulation, SimConfig
+from .utils import get_unitsystem
+
+
+def build_simulation(paramfile_or_ps, override=None, snapshot=None):
+    if isinstance(paramfile_or_ps, str):
+        ps = create_gadget_parameter_set()
+        ps.parse_file(paramfile_or_ps)
+    else:
+        ps = paramfile_or_ps
+    for k, v in (override or {}).items():
+        ps.set(k, v)
+
+    ic_path = snapshot if snapshot is not None else ps["InitCondFile"]
+    outputs = parse_output_list(ps["OutputList"])
+
+    # Peek at the header for TimeIC / Nmesh defaults
+    from .io.bigfile import BigFile
+    from .io import snapshot as snap_io
+    header = snap_io.read_header(BigFile(ic_path))
+    time_ic = header.TimeIC if header.TimeIC > 0 else header.Time
+
+    nmesh = ps["Nmesh"]
+    if nmesh <= 0:
+        # Nmesh default: 2x the cube root of particle number
+        npart = int(header.TotNumPart.sum())
+        ng = round(npart ** (1.0 / 3))
+        nmesh = 2 * ng
+
+    timeline = Timeline(outputs, TimeIC=header.Time,
+                        TimeMax=ps["TimeMax"],
+                        SnapshotWithFOF=bool(ps["SnapshotWithFOF"]))
+    tsp = TimestepParams(
+        ErrTolIntAccuracy=ps["ErrTolIntAccuracy"],
+        CourantFac=ps["CourantFac"],
+        MaxRMSDisplacementFac=ps["MaxRMSDisplacementFac"],
+        MaxSizeTimestep=ps["MaxSizeTimestep"],
+        MinSizeTimestep=ps["MinSizeTimestep"],
+        ForceEqualTimesteps=bool(ps["ForceEqualTimesteps"]))
+
+    cfg_kwargs = dict(
+        nmesh=nmesh, output_dir=ps["OutputDir"], timeline=timeline,
+        asmth=ps["Asmth"], snapshot_base=ps["SnapshotFileBase"],
+        fast_particle_type=ps["FastParticleType"],
+        tree_grav_on=bool(ps["TreeGravOn"]), rcut=ps["TreeRcut"],
+        timestep=tsp,
+        units=get_unitsystem(header.UnitLength_in_cm,
+                             header.UnitMass_in_g,
+                             header.UnitVelocity_in_cm_per_s))
+    sim = Simulation.from_snapshot(ic_path, cfg_kwargs)
+    return sim, ps
+
+
+def main():
+    if len(sys.argv) < 2:
+        print(__doc__)
+        sys.exit(1)
+    paramfile = sys.argv[1]
+    restart = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    snapnum = int(sys.argv[3]) if len(sys.argv) > 3 else None
+
+    snapshot = None
+    if restart in (1, 2, 3, 4):
+        ps = create_gadget_parameter_set()
+        ps.parse_file(paramfile)
+        outdir = ps["OutputDir"]
+        base = ps["SnapshotFileBase"]
+        if restart == 1:
+            snaps = open(os.path.join(outdir, "Snapshots.txt")).read().split()
+            snapnum = int(snaps[-2])
+        snapshot = os.path.join(outdir, f"{base}_{snapnum:03d}")
+
+    sim, ps = build_simulation(paramfile, snapshot=snapshot)
+    if restart == 4:
+        sim.compute_forces()
+        D1 = sim.CP.GrowthFactor(sim.atime, 1.0)
+        print(sim.last_power.save(sim.cfg.output_dir, sim.atime, D1))
+        return
+    sim.run()
+
+
+if __name__ == "__main__":
+    main()
