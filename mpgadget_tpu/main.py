@@ -58,6 +58,11 @@ def build_simulation(paramfile_or_ps, override=None, snapshot=None):
         asmth=ps["Asmth"], snapshot_base=ps["SnapshotFileBase"],
         fast_particle_type=ps["FastParticleType"],
         tree_grav_on=bool(ps["TreeGravOn"]), rcut=ps["TreeRcut"],
+        gravity_softening=ps["GravitySoftening"],
+        err_tol_force_acc=ps["ErrTolForceAcc"],
+        bh_opening_angle=ps["BHOpeningAngle"],
+        max_bh_opening_angle=ps["MaxBHOpeningAngle"],
+        tree_use_bh=ps["TreeUseBH"],
         timestep=tsp,
         units=get_unitsystem(header.UnitLength_in_cm,
                              header.UnitMass_in_g,

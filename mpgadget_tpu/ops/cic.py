@@ -17,12 +17,20 @@ def cell_and_frac(ipos, nmesh: int):
     """Exact CIC corner cell index and fraction from uint32 positions.
 
     Returns (cell int32 [N,3] in [0,nmesh), frac f32 [N,3] in [0,1)).
+    Power-of-two meshes use a pure shift/mask; any other nmesh uses an
+    exact 64-bit fixed-point multiply (cell = floor(x * nmesh)).
     """
-    shift = 32 - int(nmesh).bit_length() + 1  # 32 - log2(nmesh)
-    assert (1 << (32 - shift)) == nmesh, "nmesh must be a power of two"
-    cell = (ipos >> jnp.uint32(shift)).astype(jnp.int32)
-    frac_bits = ipos & jnp.uint32((1 << shift) - 1)
-    frac = frac_bits.astype(jnp.float32) * jnp.float32(1.0 / (1 << shift))
+    if nmesh & (nmesh - 1) == 0:
+        shift = 32 - (int(nmesh).bit_length() - 1)
+        cell = (ipos >> jnp.uint32(shift)).astype(jnp.int32)
+        frac_bits = ipos & jnp.uint32((1 << shift) - 1)
+        frac = frac_bits.astype(jnp.float32) * jnp.float32(
+            1.0 / (1 << shift))
+    else:
+        scaled = ipos.astype(jnp.uint64) * jnp.uint64(nmesh)
+        cell = (scaled >> jnp.uint64(32)).astype(jnp.int32)
+        frac = (scaled & jnp.uint64(0xFFFFFFFF)).astype(jnp.float32) \
+            * jnp.float32(2.0 ** -32)
     return cell, frac
 
 

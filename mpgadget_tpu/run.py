@@ -41,6 +41,11 @@ class SimConfig:
     fast_particle_type: int = 2
     tree_grav_on: bool = True
     rcut: float = 6.0
+    gravity_softening: float = 1.0 / 30.0  # of mean DM separation
+    err_tol_force_acc: float = 0.002
+    bh_opening_angle: float = 0.175
+    max_bh_opening_angle: float = 0.9
+    tree_use_bh: int = 2
     timestep: TimestepParams = field(default_factory=TimestepParams)
 
 
@@ -155,15 +160,29 @@ class Simulation:
     def _compute_tree_forces(self):
         from .gravity.treepm import TreeGravity
         if self._tree_grav is None:
+            # softening in units of mean DM separation
+            # (gravshort_set_softenings, gravshort-tree.c:43-50)
             mean_sep = self.cfg.boxsize / max(
                 1.0, np.cbrt(float(np.asarray(self.pdata.num_valid))))
             self._tree_grav = TreeGravity(
                 boxsize=self.cfg.boxsize, nmesh=self.cfg.nmesh,
                 asmth=self.cfg.asmth, rcut=self.cfg.rcut,
                 G=self.CP.GravInternal,
-                softening=mean_sep / 30.0 * 2.8)
+                softening=2.8 * self.cfg.gravity_softening * mean_sep,
+                err_tol_force_acc=self.cfg.err_tol_force_acc,
+                bh_opening_angle=self.cfg.bh_opening_angle,
+                max_bh_opening_angle=self.cfg.max_bh_opening_angle,
+                tree_use_bh=self.cfg.tree_use_bh,
+                # potential comes from the PM mesh; the short-range
+                # correction is only added on output (petaio stores
+                # Potential on PM steps, gravshort-tree.c:137)
+                with_potential=False)
         accel = self._tree_grav.compute(self.pdata)
         self.pdata = self.pdata.replace(grav_accel=accel)
+        if bool(jnp.any(self._tree_grav.last_overflow)):
+            raise RuntimeError(
+                "tree interaction list overflow: increase "
+                "WalkConfig.node_list_max/leaf_list_max")
 
     # -- stepping ------------------------------------------------------
 
