@@ -63,6 +63,16 @@ def build_simulation(paramfile_or_ps, override=None, snapshot=None):
         bh_opening_angle=ps["BHOpeningAngle"],
         max_bh_opening_angle=ps["MaxBHOpeningAngle"],
         tree_use_bh=ps["TreeUseBH"],
+        hydro_on=bool(ps["HydroOn"]),
+        density_independent_sph=bool(ps["DensityIndependentSphOn"]),
+        density_kernel_type=ps["DensityKernelType"],
+        density_resolution_eta=ps["DensityResolutionEta"],
+        max_numngb_deviation=ps["MaxNumNgbDeviation"],
+        art_bulk_visc=ps["ArtBulkViscConst"],
+        density_contrast_limit=ps["DensityContrastLimit"],
+        init_gas_temp=ps["InitGasTemp"],
+        min_gas_temp=ps["MinGasTemp"],
+        min_gas_hsml_fractional=ps["MinGasHsmlFractional"],
         timestep=tsp,
         units=get_unitsystem(header.UnitLength_in_cm,
                              header.UnitMass_in_g,

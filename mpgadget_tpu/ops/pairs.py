@@ -234,7 +234,7 @@ def pair_reduce(pair_fn, nbr: NeighborLists, tree, pos_box,
             contrib = pair_fn(dx, r, tmask_b[:, :, None],
                               smaskf[:, None, :], tfeat, sfeat)
             for k, red in reducers.items():
-                c = contrib[k]
+                c = contrib[k].astype(jnp.float32)
                 c = jnp.where(tmask_b[:, :, None] & smaskf[:, None, :],
                               c, 0.0 if red == "sum" else -jnp.inf)
                 if red == "sum":

@@ -46,6 +46,17 @@ class SimConfig:
     bh_opening_angle: float = 0.175
     max_bh_opening_angle: float = 0.9
     tree_use_bh: int = 2
+    # hydro
+    hydro_on: bool = True
+    density_independent_sph: bool = True
+    density_kernel_type: int = 2      # quintic
+    density_resolution_eta: float = 1.0
+    max_numngb_deviation: float = 2.0
+    art_bulk_visc: float = 0.75
+    density_contrast_limit: float = 100.0
+    init_gas_temp: float = -1.0
+    min_gas_temp: float = 5.0
+    min_gas_hsml_fractional: float = 0.0
     timestep: TimestepParams = field(default_factory=TimestepParams)
 
 
@@ -74,6 +85,12 @@ class Simulation:
         self._omega_per_type = self._compute_omegas()
         # tree gravity (set up lazily when enabled)
         self._tree_grav = None
+        # SPH state (allocated when gas is present)
+        self.has_gas = bool(np.any(np.asarray(pdata.ptype) == 0)
+                            & np.any(np.asarray(pdata.valid)))
+        self.sph = None
+        self._gas_initialized = False
+        self._min_egy_spec = 0.0
 
     # -- setup ---------------------------------------------------------
 
@@ -115,6 +132,15 @@ class Simulation:
         cfg = SimConfig(boxsize=header.BoxSize, **cfg_kwargs)
         sim = cls(cp, pdata, cfg, time_ic=header.TimeIC or header.Time)
         sim._header = header
+        # restore gas thermal state when present (restart path)
+        if int(header.TotNumPart[0]) > 0 and "0/InternalEnergy" in bf:
+            sim._gas_restore = {
+                "u": bf.open("0/InternalEnergy").read(),
+                "density": bf.open("0/Density").read(),
+                "hsml": bf.open("0/SmoothingLength").read(),
+            }
+        else:
+            sim._gas_restore = None
         return sim
 
     def _compute_omegas(self):
@@ -184,6 +210,190 @@ class Simulation:
                 "tree interaction list overflow: increase "
                 "WalkConfig.node_list_max/leaf_list_max")
 
+    # -- SPH -----------------------------------------------------------
+
+    @property
+    def gas_mask(self):
+        return self.pdata.valid & (self.pdata.ptype == 0)
+
+    def _density_params(self):
+        from .sph.density import DensityParams
+        mean_sep = self.cfg.boxsize / max(
+            1.0, np.cbrt(float(np.asarray(self.pdata.num_valid))))
+        softening = self.cfg.gravity_softening * mean_sep
+        return DensityParams(
+            kernel_type=self.cfg.density_kernel_type,
+            eta=self.cfg.density_resolution_eta,
+            max_ngb_deviation=self.cfg.max_numngb_deviation,
+            min_hsml=self.cfg.min_gas_hsml_fractional * softening)
+
+    def setup_gas(self):
+        """Initial Hsml + entropy from InitGasTemp
+        (setup_smoothinglengths, init.c:461-524)."""
+        from .sph.state import SphData
+        from .sph.density import sph_density
+        from .utils import constants as C
+        n = self.pdata.capacity
+        self.sph = SphData.zeros(n)
+        gas = self.gas_mask
+        atime = self.atime
+        # initial hsml guess from the mean gas separation
+        ngas = float(jnp.sum(gas))
+        mean_sep = self.cfg.boxsize / max(1.0, np.cbrt(ngas))
+        hsml0 = jnp.where(gas, 2.0 * mean_sep, 0.0).astype(jnp.float32)
+        self.pdata = self.pdata.replace(hsml=hsml0)
+        # u_init from InitGasTemp (init.c:488-501)
+        init_temp = self.cfg.init_gas_temp
+        if init_temp < 0:
+            init_temp = self.CP.CMBTemperature / atime
+        uu = self.cfg.units.UnitInternalEnergy_in_cgs
+        u_init = (1.0 / C.GAMMA_MINUS1) * (C.BOLTZMANN / C.PROTONMASS) \
+            * init_temp / uu
+        mol_weight = (4 / (8 - 5 * (1 - C.HYDROGEN_MASSFRAC))
+                      if init_temp > 1e4
+                      else 4 / (1 + 3 * C.HYDROGEN_MASSFRAC))
+        u_init /= mol_weight
+        min_egy = (C.BOLTZMANN / C.PROTONMASS / C.GAMMA_MINUS1
+                   * self.cfg.min_gas_temp / uu
+                   / (4.0 / (1 + 3 * C.HYDROGEN_MASSFRAC)))
+        u_init = max(u_init, min_egy)
+        self._min_egy_spec = min_egy
+        a3 = atime ** 3
+        # density + hsml convergence with unit entvar
+        dpar = self._density_params()
+        ones = jnp.ones(n, jnp.float32)
+        out = sph_density(self.pdata.ipos, self.pdata.mass, gas,
+                          self.pdata.hsml, self.pdata.vel,
+                          self.pdata.vel, ones, dpar, self.cfg.boxsize)
+        self.pdata = self.pdata.replace(
+            hsml=jnp.asarray(out["hsml"]),
+            dt_hsml=jnp.asarray(out["dt_hsml"]))
+        rho = jnp.asarray(out["density"])
+        egy = rho
+        entropy = C.GAMMA_MINUS1 * u_init / jnp.maximum(
+            rho / a3, 1e-30) ** C.GAMMA_MINUS1
+        if self.cfg.density_independent_sph:
+            # iterate entropy <-> EgyWtDensity (init.c:406-452)
+            for _ in range(8):
+                entropy = C.GAMMA_MINUS1 * u_init / jnp.maximum(
+                    egy / a3, 1e-30) ** C.GAMMA_MINUS1
+                entvar = jnp.maximum(entropy, 1e-30) ** (1.0 / C.GAMMA)
+                out = sph_density(
+                    self.pdata.ipos, self.pdata.mass, gas,
+                    self.pdata.hsml, self.pdata.vel, self.pdata.vel,
+                    entvar, dpar, self.cfg.boxsize,
+                    update_hsml=False)
+                new_egy = jnp.asarray(out["egy_wt_density"])
+                diff = float(jnp.max(jnp.where(
+                    gas, jnp.abs(new_egy - egy)
+                    / jnp.maximum(egy, 1e-30), 0.0)))
+                egy = new_egy
+                if diff < 1e-3:
+                    break
+        self.sph = self.sph.replace(
+            entropy=jnp.where(gas, entropy, 0.0),
+            density=rho, egy_wt_density=egy,
+            dhsml_density_factor=jnp.asarray(
+                out["dhsml_density_factor"]),
+            dhsml_egy_factor=jnp.asarray(out["dhsml_egy_factor"]),
+            div_vel=jnp.asarray(out["div_vel"]),
+            curl_vel=jnp.asarray(out["curl_vel"]))
+        self._gas_initialized = True
+
+    def _restore_gas(self):
+        """Rebuild SPH state from snapshot blocks
+        (check_density_entropy path, init.c:366-400)."""
+        from .sph.state import SphData
+        from .utils import constants as C
+        n = self.pdata.capacity
+        gas = self.gas_mask
+        r = self._gas_restore
+        ngas = len(r["u"])
+        atime = self.atime
+        a3 = atime ** 3
+
+        def expand(x):
+            full = np.zeros(n, np.float32)
+            full[np.asarray(gas)] = np.asarray(x, np.float32)
+            return jnp.asarray(full)
+
+        rho = expand(r["density"])
+        u = expand(r["u"])
+        entropy = C.GAMMA_MINUS1 * u / jnp.maximum(
+            rho / a3, 1e-30) ** C.GAMMA_MINUS1
+        self.sph = SphData.zeros(n).replace(
+            entropy=entropy, density=rho, egy_wt_density=rho)
+        self.pdata = self.pdata.replace(hsml=expand(r["hsml"]))
+        uu = self.cfg.units.UnitInternalEnergy_in_cgs
+        self._min_egy_spec = (C.BOLTZMANN / C.PROTONMASS
+                              / C.GAMMA_MINUS1 * self.cfg.min_gas_temp
+                              / uu / (4.0 / (1 + 3 * C.HYDROGEN_MASSFRAC)))
+        self._gas_initialized = True
+
+    def compute_hydro(self, dloga):
+        """Density + hydro force loops (run.c:466-489 analog)."""
+        from .sph.density import sph_density
+        from .sph.hydra import hydro_force, HydroParams
+        from .utils.constants import GAMMA
+        gas = self.gas_mask
+        atime = self.atime
+        hubble = self.CP.hubble_function(atime)
+        entvar = jnp.maximum(self.sph.entropy, 1e-30) ** (1.0 / GAMMA)
+        entvar = jnp.where(gas, entvar, 0.0)
+        dpar = self._density_params()
+        self.walltime.start("SPH/Density")
+        out = sph_density(self.pdata.ipos, self.pdata.mass, gas,
+                          self.pdata.hsml, self.pdata.vel,
+                          self.pdata.vel, entvar, dpar,
+                          self.cfg.boxsize,
+                          do_egy_density=self.cfg.density_independent_sph)
+        self.walltime.stop("SPH/Density")
+        self.pdata = self.pdata.replace(
+            hsml=jnp.asarray(out["hsml"]),
+            dt_hsml=jnp.asarray(out["dt_hsml"]))
+        self.sph = self.sph.replace(
+            density=jnp.asarray(out["density"]),
+            egy_wt_density=jnp.asarray(out["egy_wt_density"]),
+            dhsml_density_factor=jnp.asarray(
+                out["dhsml_density_factor"]),
+            dhsml_egy_factor=jnp.asarray(out["dhsml_egy_factor"]),
+            div_vel=jnp.asarray(out["div_vel"]),
+            curl_vel=jnp.asarray(out["curl_vel"]))
+        hp = HydroParams(
+            kernel_type=self.cfg.density_kernel_type,
+            art_bulk_visc=self.cfg.art_bulk_visc,
+            density_independent=self.cfg.density_independent_sph,
+            density_contrast_limit=self.cfg.density_contrast_limit)
+        self.walltime.start("SPH/Hydro")
+        res = hydro_force(
+            self.pdata.ipos, self.pdata.mass, gas, self.pdata.hsml,
+            self.pdata.vel, entvar, self.sph.density,
+            self.sph.egy_wt_density, self.sph.div_vel,
+            self.sph.curl_vel, self.sph.dhsml_egy_factor, hp,
+            self.cfg.boxsize, atime, hubble, dloga)
+        self.walltime.stop("SPH/Hydro")
+        self.sph = self.sph.replace(
+            hydro_accel=res["hydro_accel"],
+            dt_entropy=res["dt_entropy"],
+            max_signal_vel=res["max_signal_vel"])
+
+    def find_hydro_timestep_dloga(self):
+        """Courant + Hsml-change criteria (timestep.c:1075-1090)."""
+        from .utils.constants import GAMMA
+        gas = self.gas_mask
+        atime = self.atime
+        hubble = self.CP.hubble_function(atime)
+        par = self.cfg.timestep
+        fac3 = atime ** (3 * (1 - GAMMA) / 2.0)
+        vsig = jnp.maximum(self.sph.max_signal_vel, 1e-30)
+        dt_c = 2 * par.CourantFac * atime * self.pdata.hsml \
+            / (fac3 * vsig)
+        dt_h = par.CourantFac * atime * atime * jnp.abs(
+            self.pdata.hsml / (self.pdata.dt_hsml + 1e-20))
+        dt = jnp.minimum(dt_c, dt_h)
+        dloga = float(jnp.min(jnp.where(gas, dt, jnp.inf))) * hubble
+        return min(dloga, par.MaxSizeTimestep)
+
     # -- stepping ------------------------------------------------------
 
     def find_pm_timestep(self):
@@ -195,34 +405,77 @@ class Simulation:
         return get_pm_timestep_ti(dloga, self.timeline, self.ti_current,
                                   self.ti_current)
 
+    def _apply_half_kick(self, t0, t1):
+        """Gravity (+hydro, +entropy) kick over [t0, t1]
+        (apply_half_kick / apply_hydro_half_kick, timestep.c)."""
+        accel = self.pdata.grav_pm + self.pdata.grav_accel
+        vel = kick(self.pdata.vel, accel, self.tf.gravkick(t0, t1))
+        if self.has_gas and self._gas_initialized:
+            from .utils.constants import GAMMA_MINUS1
+            gas = self.gas_mask
+            hk = self.tf.hydrokick(t0, t1)
+            vel = vel + jnp.where(gas[:, None], self.sph.hydro_accel,
+                                  0.0) * jnp.float32(hk)
+            dloga = (self.timeline.loga_from_ti(t1)
+                     - self.timeline.loga_from_ti(t0))
+            ent = self.sph.entropy + self.sph.dt_entropy \
+                * jnp.float32(dloga)
+            # entropy floor from MinGasTemp (check_density_entropy)
+            a3 = self.atime ** 3
+            minent = GAMMA_MINUS1 * self._min_egy_spec / jnp.maximum(
+                self.sph.density / a3, 1e-30) ** GAMMA_MINUS1
+            ent = jnp.maximum(ent, minent)
+            # entropy may at most halve per step (Gadget convention)
+            ent = jnp.maximum(ent, 0.5 * self.sph.entropy)
+            self.sph = self.sph.replace(
+                entropy=jnp.where(gas, ent, self.sph.entropy))
+        self.pdata = self.pdata.replace(vel=vel)
+
     def step(self, dti: int):
         """One global KDK step over dti integer ticks."""
         t0, t1 = self.ti_current, self.ti_current + dti
         th = t0 + dti // 2
         inv_box = 1.0 / self.cfg.boxsize
         # K: half kick with forces at t0
-        accel = self.pdata.grav_pm + self.pdata.grav_accel
-        self.pdata = self.pdata.replace(
-            vel=kick(self.pdata.vel, accel, self.tf.gravkick(t0, th)))
-        # D: full drift
+        self._apply_half_kick(t0, th)
+        # D: full drift (positions and predicted Hsml)
+        hsml = self.pdata.hsml + self.pdata.dt_hsml \
+            * jnp.float32(self.tf.drift(t0, t1))
+        hsml = jnp.clip(hsml, 0.0, 0.45 * self.cfg.boxsize)
         self.pdata = self.pdata.replace(
             ipos=drift(self.pdata.ipos, self.pdata.vel,
-                       self.tf.drift(t0, t1), inv_box))
+                       self.tf.drift(t0, t1), inv_box),
+            hsml=hsml)
         self.ti_current = t1
-        # Force at t1
+        # Forces at t1
+        if self.has_gas and self.cfg.hydro_on:
+            dloga = self.timeline.dloga_from_dti(dti, t0)
+            self.compute_hydro(dloga)
         self.compute_forces()
         # K: half kick with forces at t1
-        accel = self.pdata.grav_pm + self.pdata.grav_accel
-        self.pdata = self.pdata.replace(
-            vel=kick(self.pdata.vel, accel, self.tf.gravkick(th, t1)))
+        self._apply_half_kick(th, t1)
 
     def run(self, max_steps: Optional[int] = None, verbose=True):
         """Main loop (run.c:314-800, PM-only path)."""
         os.makedirs(self.cfg.output_dir, exist_ok=True)
+        if self.has_gas and self.cfg.hydro_on and not self._gas_initialized:
+            if getattr(self, "_gas_restore", None):
+                self._restore_gas()
+            else:
+                self.setup_gas()
+        if self.has_gas and self.cfg.hydro_on:
+            self.compute_hydro(dloga=0.0)
         self.compute_forces()
         nsteps = 0
         while self.ti_current < self.timeline.ti_end:
             dti = self.find_pm_timestep()
+            if self.has_gas and self.cfg.hydro_on:
+                dloga_h = self.find_hydro_timestep_dloga()
+                from .timeline import round_down_power_of_two
+                dti_h = round_down_power_of_two(
+                    self.timeline.dti_from_dloga(dloga_h,
+                                                 self.ti_current))
+                dti = min(dti, max(dti_h, 1))
             if dti <= 0:
                 raise RuntimeError(f"Bad timestep {dti}")
             self.step(dti)
@@ -262,15 +515,36 @@ class Simulation:
         pot = np.asarray(self.pdata.potential)
         ntot = np.zeros(6, np.uint64)
         hubble = self.CP.hubble_function(atime)
+        from .utils.constants import GAMMA_MINUS1
         for t in range(6):
             sel = valid & (ptype == t)
             ntot[t] = sel.sum()
             if ntot[t] == 0:
                 continue
+            extra = {"Potential": pot[sel].astype("<f4")}
+            if t == 0 and self.sph is not None:
+                # gas blocks (petaio.c:992-1078 registry subset)
+                a3inv = 1.0 / atime ** 3
+                ent = np.asarray(self.sph.entropy)[sel]
+                rho = np.asarray(self.sph.density)[sel]
+                u = ent / GAMMA_MINUS1 * np.maximum(
+                    rho * a3inv, 1e-30) ** GAMMA_MINUS1
+                extra["SmoothingLength"] = np.asarray(
+                    self.pdata.hsml)[sel].astype("<f4")
+                extra["Density"] = rho.astype("<f4")
+                extra["InternalEnergy"] = u.astype("<f4")
+                extra["EgyWtDensity"] = np.asarray(
+                    self.sph.egy_wt_density)[sel].astype("<f4")
+                extra["ElectronAbundance"] = np.asarray(
+                    self.sph.ne)[sel].astype("<f4")
+                extra["StarFormationRate"] = np.asarray(
+                    self.sph.sfr)[sel].astype("<f4")
+                extra["Metallicity"] = np.asarray(
+                    self.sph.metallicity)[sel].astype("<f4")
             snap_io.write_species(
                 bf, t, pos=pos[sel], vel=vel[sel], pid=pid[sel],
                 mass=mass[sel], atime=atime, use_peculiar=True,
-                extra={"Potential": pot[sel].astype("<f4")})
+                extra=extra)
         header = snap_io.SnapshotHeader(
             TotNumPart=ntot, MassTable=np.zeros(6), Time=atime,
             TimeIC=self.time_ic, BoxSize=self.cfg.boxsize,

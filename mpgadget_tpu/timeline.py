@@ -78,6 +78,8 @@ class Timeline:
         return last + dti * self._interval_dloga(ti)
 
     def ti_from_loga(self, loga: float) -> int:
+        if len(self.syncpoints) < 2:
+            return 0  # degenerate timeline (start == end)
         i = 1
         while i < len(self.syncpoints) - 1 and self.syncpoints[i].loga <= loga:
             i += 1
