@@ -73,6 +73,17 @@ def build_simulation(paramfile_or_ps, override=None, snapshot=None):
         init_gas_temp=ps["InitGasTemp"],
         min_gas_temp=ps["MinGasTemp"],
         min_gas_hsml_fractional=ps["MinGasHsmlFractional"],
+        cooling_on=bool(ps["CoolingOn"]),
+        treecool_file=ps["TreeCoolFile"],
+        cooling_rates=ps["CoolingRates"],
+        recomb_rates=ps["RecombRates"],
+        self_shielding_on=bool(ps["SelfShieldingOn"]),
+        photo_ionize_factor=ps["PhotoIonizeFactor"],
+        photo_ionization_on=bool(ps["PhotoIonizationOn"]),
+        helium_heat_on=bool(ps["HeliumHeatOn"]),
+        helium_heat_thresh=ps["HeliumHeatThresh"],
+        helium_heat_amp=ps["HeliumHeatAmp"],
+        helium_heat_exp=ps["HeliumHeatExp"],
         timestep=tsp,
         units=get_unitsystem(header.UnitLength_in_cm,
                              header.UnitMass_in_g,

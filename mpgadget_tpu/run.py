@@ -57,6 +57,18 @@ class SimConfig:
     init_gas_temp: float = -1.0
     min_gas_temp: float = 5.0
     min_gas_hsml_fractional: float = 0.0
+    # cooling
+    cooling_on: bool = False
+    treecool_file: str = ""
+    cooling_rates: int = 2        # Sherwood
+    recomb_rates: int = 1         # Verner96
+    self_shielding_on: bool = True
+    photo_ionize_factor: float = 1.0
+    photo_ionization_on: bool = True
+    helium_heat_on: bool = False
+    helium_heat_thresh: float = 10.0
+    helium_heat_amp: float = 1.0
+    helium_heat_exp: float = 0.0
     timestep: TimestepParams = field(default_factory=TimestepParams)
 
 
@@ -377,6 +389,59 @@ class Simulation:
             dt_entropy=res["dt_entropy"],
             max_signal_vel=res["max_signal_vel"])
 
+    def _init_cooling(self):
+        from .physics.cooling import (CoolingParams, CoolingRates,
+                                      CoolingUnits, TreeCool)
+        par = CoolingParams(
+            recomb=self.cfg.recomb_rates, cooling=self.cfg.cooling_rates,
+            SelfShieldingOn=self.cfg.self_shielding_on,
+            PhotoIonizationOn=self.cfg.photo_ionization_on,
+            PhotoIonizeFactor=self.cfg.photo_ionize_factor,
+            MinGasTemp=self.cfg.min_gas_temp,
+            CMBTemperature=self.CP.CMBTemperature,
+            fBar=self.CP.OmegaBaryon / max(self.CP.OmegaCDM, 1e-10),
+            HeliumHeatOn=self.cfg.helium_heat_on,
+            HeliumHeatThresh=self.cfg.helium_heat_thresh,
+            HeliumHeatAmp=self.cfg.helium_heat_amp,
+            HeliumHeatExp=self.cfg.helium_heat_exp,
+        )
+        tc = TreeCool(self.cfg.treecool_file or None, par)
+        self._cooling = CoolingRates(par, tc)
+        self._treecool = tc
+        units = self.cfg.units
+        h = self.CP.HubbleParam
+        self._cooling_units = CoolingUnits(
+            density_in_phys_cgs=units.UnitDensity_in_cgs * h * h,
+            uu_in_cgs=units.UnitInternalEnergy_in_cgs,
+            tt_in_s=units.UnitTime_in_s / h)
+
+    def apply_cooling(self, dloga):
+        """Strang-split cooling after the kick (cooling_direct path of
+        cooling_and_starformation, sfr_eff.c:187)."""
+        from .physics.cooling import do_cooling
+        from .utils.constants import GAMMA_MINUS1
+        if not hasattr(self, "_cooling"):
+            self._init_cooling()
+        gas = self.gas_mask
+        atime = self.atime
+        redshift = 1.0 / atime - 1.0
+        hubble = self.CP.hubble_function(atime)
+        uvbg = self._treecool.get_global_uvbg(redshift)
+        a3 = atime ** 3
+        rho_phys = jnp.maximum(self.sph.density, 1e-30) / a3
+        u = self.sph.entropy / GAMMA_MINUS1 * rho_phys ** GAMMA_MINUS1
+        dt = jnp.full_like(u, dloga / hubble)
+        self.walltime.start("Cooling")
+        u_new, ne = do_cooling(self._cooling, redshift, u, rho_phys,
+                               dt, uvbg, self.sph.ne,
+                               self.sph.metallicity,
+                               self._min_egy_spec, self._cooling_units)
+        self.walltime.stop("Cooling")
+        ent_new = GAMMA_MINUS1 * u_new / rho_phys ** GAMMA_MINUS1
+        self.sph = self.sph.replace(
+            entropy=jnp.where(gas, ent_new, self.sph.entropy),
+            ne=jnp.where(gas, ne, self.sph.ne))
+
     def find_hydro_timestep_dloga(self):
         """Courant + Hsml-change criteria (timestep.c:1075-1090)."""
         from .utils.constants import GAMMA
@@ -454,6 +519,9 @@ class Simulation:
         self.compute_forces()
         # K: half kick with forces at t1
         self._apply_half_kick(th, t1)
+        # Strang-split source terms (run.c:586-604)
+        if self.has_gas and self.cfg.cooling_on and self._gas_initialized:
+            self.apply_cooling(self.timeline.dloga_from_dti(dti, t0))
 
     def run(self, max_steps: Optional[int] = None, verbose=True):
         """Main loop (run.c:314-800, PM-only path)."""

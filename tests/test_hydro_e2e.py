@@ -53,7 +53,8 @@ Omega0 = 0.3
 OmegaLambda = 0.7
 OmegaBaryon = 0.05
 HubbleParam = 0.7
-CoolingOn = 0
+CoolingOn = 1
+TreeCoolFile = /root/reference/examples/TREECOOL_fg_june11
 StarformationOn = 0
 WindOn = 0
 SnapshotWithFOF = 0
@@ -80,6 +81,10 @@ InitGasTemp = 1000
     assert np.all(ent > 0)
     assert np.all(rho > 0)
     assert np.all(np.isfinite(np.asarray(sim.sph.hydro_accel)))
+    # cooling ran: electron abundance was updated from its initial 1.0
+    ne = np.asarray(sim.sph.ne)[gas]
+    assert not np.allclose(ne, 1.0)
+    assert np.all(ne >= 0)
     # hsml converged to sane values (~interparticle separation scale)
     hs = np.asarray(sim.pdata.hsml)[gas]
     sep = 10000 / 10
