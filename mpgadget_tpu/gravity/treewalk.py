@@ -100,10 +100,19 @@ def traverse(tree, leaf_nodes, group_center, group_half, group_aold,
 
     group_aold: ErrTolForceAcc * min |old accel| over the group, in
     box-unit force units; <= 0 means use BH opening.
+
+    The walk is gather-bound on TPU, so per-node data is packed into ONE
+    f32 row (center, len, mass) + ONE i32 row (skip | leaf flag): two
+    gathers per visited node instead of six.
     """
     LN = cfg.node_list_max
     LL = cfg.leaf_list_max
     rcut2 = rcut * rcut
+    packed = jnp.concatenate(
+        [tree.center, tree.length[:, None], tree.mass[:, None]], axis=1)
+    # skip pointer in the low 31 bits, leaf flag in the sign bit
+    meta = tree.skip | jnp.where(tree.is_leaf, jnp.int32(-2 ** 31),
+                                 jnp.int32(0))
 
     def walk(self_node, center, half, aold):
         active_group = self_node < tree.n_nodes
@@ -113,14 +122,17 @@ def traverse(tree, leaf_nodes, group_center, group_half, group_aold,
 
         def body(st):
             i, nn, nl, nodes, leaves, ovf = st
-            c = tree.center[i]
-            ln = tree.length[i]
-            leaf = tree.is_leaf[i]
+            row = packed[i]
+            mt = meta[i]
+            c = row[:3]
+            ln = row[3]
+            m = row[4]
+            leaf = mt < 0
+            skip = mt & jnp.int32(0x7FFFFFFF)
             dc = jnp.abs(_wrap(c - center))
             dmin = jnp.maximum(dc - half - 0.5 * ln, 0.0)
             r2min = jnp.sum(dmin * dmin)
             discard = r2min > rcut2
-            m = tree.mass[i]
             rel_open = m * ln * ln > r2min * r2min * aold
             bh_open = ln * ln > bh_angle2 * r2min
             # relative mode still opens at the max BH angle cap
@@ -141,8 +153,7 @@ def traverse(tree, leaf_nodes, group_center, group_half, group_aold,
             nn = nn + jnp.where(use_node & (nn < LN), one, zero)
             nl = nl + jnp.where(rec_leaf & (nl < LL), one, zero)
             ovf = ovf | (use_node & (nn >= LN)) | (rec_leaf & (nl >= LL))
-            i = jnp.where(descend, i + one,
-                          tree.skip[i]).astype(jnp.int32)
+            i = jnp.where(descend, i + one, skip).astype(jnp.int32)
             return (i, nn, nl, nodes, leaves, ovf)
 
         start = jnp.where(active_group, jnp.int32(0),

@@ -84,6 +84,12 @@ def build_simulation(paramfile_or_ps, override=None, snapshot=None):
         helium_heat_thresh=ps["HeliumHeatThresh"],
         helium_heat_amp=ps["HeliumHeatAmp"],
         helium_heat_exp=ps["HeliumHeatExp"],
+        snapshot_with_fof=bool(ps["SnapshotWithFOF"]),
+        fof_file_base=ps["FOFFileBase"],
+        fof_linking_length=ps["FOFHaloLinkingLength"],
+        fof_min_group_length=ps["FOFHaloMinLength"],
+        fof_primary_link_types=ps["FOFPrimaryLinkTypes"],
+        fof_secondary_link_types=ps["FOFSecondaryLinkTypes"],
         timestep=tsp,
         units=get_unitsystem(header.UnitLength_in_cm,
                              header.UnitMass_in_g,
@@ -112,6 +118,9 @@ def main():
         snapshot = os.path.join(outdir, f"{base}_{snapnum:03d}")
 
     sim, ps = build_simulation(paramfile, snapshot=snapshot)
+    if restart == 3:
+        sim.run_fof(save=True, label=snapnum)
+        return
     if restart == 4:
         sim.compute_forces()
         D1 = sim.CP.GrowthFactor(sim.atime, 1.0)

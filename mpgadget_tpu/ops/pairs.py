@@ -114,6 +114,11 @@ def find_neighbors(tree, group_nodes, group_center, group_half,
     NGB_TREEFIND_SYMMETRIC analog, treewalk.h:13-16).
     """
     LL = leaf_list_max
+    hm = hmax if symmetric else tree.length  # placeholder when unused
+    packed = jnp.concatenate(
+        [tree.center, tree.length[:, None], hm[:, None]], axis=1)
+    meta = tree.skip | jnp.where(tree.is_leaf, jnp.int32(-2 ** 31),
+                                 jnp.int32(0))
 
     def walk(self_node, center, half, radius):
         active = self_node < tree.n_nodes
@@ -123,22 +128,24 @@ def find_neighbors(tree, group_nodes, group_center, group_half,
 
         def body(st):
             i, nl, leaves, ovf = st
-            c = tree.center[i]
-            ln = tree.length[i]
+            row = packed[i]
+            mt = meta[i]
+            c = row[:3]
+            ln = row[3]
             dc = jnp.abs(_wrap(c - center))
             dmin = jnp.maximum(dc - half - 0.5 * ln, 0.0)
             r2min = jnp.sum(dmin * dmin)
-            reach = jnp.maximum(radius, hmax[i]) if symmetric else radius
+            reach = jnp.maximum(radius, row[4]) if symmetric else radius
             near = r2min < reach * reach
-            leaf = tree.is_leaf[i]
+            leaf = mt < 0
+            skip = mt & jnp.int32(0x7FFFFFFF)
             rec = near & leaf
             descend = near & (~leaf)
             leaves = leaves.at[jnp.where(rec, nl, LL)].set(i, mode="drop")
             one = jnp.int32(1)
             nl = nl + jnp.where(rec & (nl < LL), one, jnp.int32(0))
             ovf = ovf | (rec & (nl >= LL))
-            i = jnp.where(descend, i + one,
-                          tree.skip[i]).astype(jnp.int32)
+            i = jnp.where(descend, i + one, skip).astype(jnp.int32)
             return (i, nl, leaves, ovf)
 
         start = jnp.where(active, jnp.int32(0),

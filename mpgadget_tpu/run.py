@@ -69,6 +69,13 @@ class SimConfig:
     helium_heat_thresh: float = 10.0
     helium_heat_amp: float = 1.0
     helium_heat_exp: float = 0.0
+    # FOF
+    snapshot_with_fof: bool = False
+    fof_file_base: str = "PIG"
+    fof_linking_length: float = 0.2
+    fof_min_group_length: int = 32
+    fof_primary_link_types: int = 2
+    fof_secondary_link_types: int = 1 + 16 + 32
     timestep: TimestepParams = field(default_factory=TimestepParams)
 
 
@@ -551,6 +558,9 @@ class Simulation:
             sp = self.timeline.find_current_sync_point(self.ti_current)
             if sp is not None and sp.write_snapshot:
                 self.write_snapshot()
+                if sp.write_fof or (self.cfg.snapshot_with_fof
+                                    and sp.write_snapshot):
+                    self.run_fof()
             if self.last_power is not None:
                 D1 = self.CP.GrowthFactor(self.atime, 1.0)
                 self.last_power.save(self.cfg.output_dir, self.atime, D1)
@@ -562,6 +572,63 @@ class Simulation:
             if max_steps and nsteps >= max_steps:
                 break
         return nsteps
+
+    # -- FOF -----------------------------------------------------------
+
+    def run_fof(self, save=True, label=None):
+        """FOF halo finding + PIG catalog output (runfof, run.c:813-852
+        and fof_save_groups)."""
+        from .physics.fof import fof_catalog, FOFParams
+        npart = float(np.asarray(jnp.sum(
+            self.pdata.valid & (self.pdata.ptype == 1))))
+        mean_sep = self.cfg.boxsize / max(1.0, np.cbrt(npart))
+        cfg = FOFParams(
+            linking_length=self.cfg.fof_linking_length,
+            min_group_length=self.cfg.fof_min_group_length,
+            primary_link_types=self.cfg.fof_primary_link_types,
+            secondary_link_types=self.cfg.fof_secondary_link_types)
+        self.walltime.start("FOF")
+        cat = fof_catalog(self.pdata.ipos, self.pdata.vel,
+                          self.pdata.mass, self.pdata.ptype,
+                          self.pdata.valid, self.cfg.boxsize, mean_sep,
+                          cfg, sfr=self.sph.sfr if self.sph else None)
+        self.walltime.stop("FOF")
+        if save:
+            self.write_fof_catalog(cat, label)
+        return cat
+
+    def write_fof_catalog(self, cat, label=None):
+        """PIG bigfile in the reference's FOFGroups schema
+        (fofpetaio.c:540-570)."""
+        if label is None:
+            label = max(self.snapshot_count - 1, 0)
+        path = os.path.join(self.cfg.output_dir,
+                            f"{self.cfg.fof_file_base}_{label:03d}")
+        bf = BigFile(path, create=True)
+        ng = cat["ngroups"]
+        atime = self.atime
+        bf.create_from_array("FOFGroups/GroupID",
+                             np.arange(ng, dtype="<u4"))
+        bf.create_from_array("FOFGroups/Mass",
+                             cat["masses"].astype("<f4"))
+        bf.create_from_array("FOFGroups/MassCenterPosition",
+                             cat["cm"].astype("<f8"))
+        bf.create_from_array("FOFGroups/MassCenterVelocity",
+                             (cat["vel"] / atime).astype("<f4"))
+        bf.create_from_array("FOFGroups/LengthByType",
+                             cat["len_by_type"].astype("<u4"))
+        bf.create_from_array("FOFGroups/MassByType",
+                             cat["mass_by_type"].astype("<f4"))
+        bf.create_from_array("FOFGroups/StarFormationRate",
+                             cat["sfr"].astype("<f4"))
+        hdr = bf.create("Header")
+        hdr.attrs["NumFOFGroupsTotal"] = np.asarray([ng], "<u8")
+        hdr.attrs["Time"] = float(atime)
+        hdr.attrs["BoxSize"] = float(self.cfg.boxsize)
+        hdr.attrs["Omega0"] = float(self.CP.Omega0)
+        hdr.attrs["OmegaLambda"] = float(self.CP.OmegaLambda)
+        hdr.attrs["HubbleParam"] = float(self.CP.HubbleParam)
+        return path
 
     # -- output --------------------------------------------------------
 
