@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from .tree import build_tree, TreeConfig
 from .treewalk import (WalkConfig, make_target_groups, traverse,
-                       evaluate)
+                       evaluate, traverse_fused, evaluate_leaves)
 from ..ops.morton import morton_key
 
 
@@ -89,30 +89,32 @@ class TreeGravity:
         use_bh = self._use_bh_now
         theta2 = (self.bh_opening_angle ** 2 if use_bh
                   else self.max_bh_opening_angle ** 2)
-        # restartable walk: double the list capacities on overflow (the
-        # analog of the reference's export-buffer-full retry loop,
-        # treewalk.c:801-902 — but a recompile instead of extra passes)
+        want_pot = self.with_potential or return_potential
+        # restartable walk: double the leaf-list capacity on overflow
+        # (the export-buffer-full retry analog, treewalk.c:801-902).
+        # Multipole contributions are evaluated inside the walk (fused);
+        # only the direct-interaction leaf list is recorded.
         wcfg = self.walk_cfg
         for attempt in range(4):
-            node_idx, nn, leaf_idx, nl, ovf = traverse(
-                tree, leaf_nodes, gc, gh, aold, wcfg,
+            acc0, pot0, leaf_idx, nl, ovf = traverse_fused(
+                tree, pos_box, leaf_nodes, gc, gh, aold, wcfg,
+                self.tree_cfg.group_max,
                 jnp.float32(self.rcut_box), jnp.float32(theta2),
-                use_bh)
+                use_bh, jnp.float32(self.rs_inv_box),
+                jnp.float32(self.h_inv_box), with_potential=want_pot)
             if not bool(jnp.any(ovf)):
                 break
             from dataclasses import replace as dc_replace
             wcfg = dc_replace(
-                wcfg, node_list_max=wcfg.node_list_max * 2,
-                leaf_list_max=wcfg.leaf_list_max * 2,
+                wcfg, leaf_list_max=wcfg.leaf_list_max * 2,
                 group_batch=max(16, wcfg.group_batch // 2))
         self.walk_cfg = wcfg
-        acc_box, pot_box = evaluate(
-            tree, pos_box, mass_s, valid_s, leaf_nodes,
-            node_idx, nn, leaf_idx, nl,
-            wcfg, self.tree_cfg.group_max,
+        acc_box, pot_box = evaluate_leaves(
+            tree, pos_box, mass_s, valid_s, leaf_nodes, leaf_idx, nl,
+            acc0, pot0, wcfg, self.tree_cfg.group_max,
             jnp.float32(self.rs_inv_box),
             jnp.float32(self.h_inv_box), jnp.float32(self.rcut_box),
-            with_potential=self.with_potential or return_potential)
+            with_potential=want_pot)
 
         # back to original order; internal units
         inv = jnp.argsort(perm)

@@ -283,3 +283,189 @@ def evaluate(tree, pos_box, mass_sorted, valid_sorted, leaf_nodes,
                     acc_g[gid, jnp.clip(slot, 0, G - 1)], 0.0)
     pot = jnp.where(covered, pot_g[gid, jnp.clip(slot, 0, G - 1)], 0.0)
     return acc, pot
+
+
+@partial(jax.jit, static_argnames=("cfg", "leaf_max",
+                                   "with_potential"))
+def traverse_fused(tree, pos_box, leaf_nodes, group_center, group_half,
+                  group_aold, cfg: WalkConfig, leaf_max, rcut, bh_angle2,
+                  use_bh, rs_inv, h_inv, with_potential=False):
+    """Traversal with *fused* multipole evaluation.
+
+    Recording per-node interaction lists costs ~5x the walk itself in
+    scatter traffic (measured on v5e), so accepted multipoles are
+    instead applied to the group's targets inline: the accumulators are
+    dense per-lane arrays updated every iteration (no scatter).  Only
+    the short leaf list (direct interactions) is still recorded.
+
+    Returns (acc f32[ngroups, leaf_max, 3], pot, leaf_idx, n_leaves,
+    overflow) in box-unit force units.
+    """
+    LL = cfg.leaf_list_max
+    rcut2 = rcut * rcut
+    G = leaf_max
+    n = pos_box.shape[0]
+    packed = jnp.concatenate(
+        [tree.center, tree.length[:, None], tree.mass[:, None],
+         tree.com], axis=1)
+    meta = tree.skip | jnp.where(tree.is_leaf, jnp.int32(-2 ** 31),
+                                 jnp.int32(0))
+    offg = jnp.arange(G, dtype=jnp.int32)
+
+    def walk(self_node, center, half, aold):
+        active_group = self_node < tree.n_nodes
+        safe = jnp.minimum(self_node, tree.capacity - 1)
+        tps = tree.pstart[safe]
+        tpc = jnp.where(active_group, tree.pcount[safe], 0)
+        tidx = jnp.clip(tps + offg, 0, n - 1)
+        tmask = offg < tpc
+        tpos = pos_box[tidx]                      # (G, 3)
+
+        def cond(st):
+            return st[0] < tree.n_nodes
+
+        def body(st):
+            i, nl, leaves, ovf, acc, pot = st
+            row = packed[i]
+            mt = meta[i]
+            c = row[:3]
+            ln = row[3]
+            m = row[4]
+            com = row[5:8]
+            leaf = mt < 0
+            skip = mt & jnp.int32(0x7FFFFFFF)
+            dc = jnp.abs(_wrap(c - center))
+            dmin = jnp.maximum(dc - half - 0.5 * ln, 0.0)
+            r2min = jnp.sum(dmin * dmin)
+            discard = r2min > rcut2
+            rel_open = m * ln * ln > r2min * r2min * aold
+            bh_open = ln * ln > bh_angle2 * r2min
+            crit_open = jnp.where(use_bh | (aold <= 0),
+                                  bh_open, rel_open | bh_open)
+            inside = jnp.all(dc < half + 0.6 * ln)
+            must_open = crit_open | inside | (r2min <= 0)
+            use_node = (~discard) & (~must_open)
+            rec_leaf = (~discard) & must_open & leaf
+            descend = (~discard) & must_open & (~leaf)
+            # fused multipole: node com/mass on all G targets
+            dx = _wrap(com[None, :] - tpos)       # (G, 3)
+            r = jnp.sqrt(jnp.sum(dx * dx, axis=-1))
+            from .shortrange import (shortrange_force_window,
+                                     shortrange_pot_window,
+                                     softened_force_factor,
+                                     softened_pot_factor)
+            w = jnp.where(use_node & (r < rcut),
+                          m * softened_force_factor(r, h_inv)
+                          * shortrange_force_window(r, rs_inv), 0.0)
+            acc = acc + w[:, None] * dx
+            if with_potential:
+                pw = jnp.where(use_node & (r < rcut),
+                               m * softened_pot_factor(r, h_inv)
+                               * shortrange_pot_window(r, rs_inv), 0.0)
+                pot = pot + pw
+            leaves = leaves.at[jnp.where(rec_leaf, nl, LL)].set(
+                i, mode="drop")
+            one = jnp.int32(1)
+            nl = nl + jnp.where(rec_leaf & (nl < LL), one, jnp.int32(0))
+            ovf = ovf | (rec_leaf & (nl >= LL))
+            i = jnp.where(descend, i + one, skip).astype(jnp.int32)
+            return (i, nl, leaves, ovf, acc, pot)
+
+        start = jnp.where(active_group, jnp.int32(0),
+                          tree.n_nodes.astype(jnp.int32))
+        st0 = (start, jnp.int32(0),
+               jnp.full(LL, tree.capacity, jnp.int32), False,
+               jnp.zeros((G, 3), jnp.float32), jnp.zeros(G, jnp.float32))
+        i, nl, leaves, ovf, acc, pot = jax.lax.while_loop(cond, body,
+                                                          st0)
+        return acc, pot, leaves, nl, ovf
+
+    return jax.vmap(walk)(leaf_nodes, group_center, group_half,
+                          group_aold)
+
+
+@partial(jax.jit, static_argnames=("cfg", "leaf_max", "with_potential"))
+def evaluate_leaves(tree, pos_box, mass_sorted, valid_sorted, leaf_nodes,
+                    leaf_idx, n_leaves, acc0, pot0, cfg: WalkConfig,
+                    leaf_max, rs_inv, h_inv, rcut, with_potential=True):
+    """Direct (leaf) interactions added to the fused-walk accumulators,
+    then mapped back to sorted-particle order."""
+    n = pos_box.shape[0]
+    ngroups = leaf_nodes.shape[0]
+    G = leaf_max
+    offg = jnp.arange(G, dtype=jnp.int32)
+    safe_nodes = jnp.minimum(leaf_nodes, tree.capacity - 1)
+    tps = tree.pstart[safe_nodes]
+    tpc = jnp.where(leaf_nodes < tree.n_nodes,
+                    tree.pcount[safe_nodes], 0)
+    tidx = jnp.clip(tps[:, None] + offg[None, :], 0, n - 1)
+    tgt = pos_box[tidx]
+
+    lstart = tree.pstart[leaf_idx]
+    lcount = tree.pcount[leaf_idx]
+    lmask = (jnp.arange(cfg.leaf_list_max)[None, :]
+             < n_leaves[:, None])
+    lcount = jnp.where(lmask, lcount, 0)
+    LE = cfg.leaf_eval_max
+    off = jnp.arange(LE, dtype=jnp.int32)
+
+    def eval_batch(args):
+        tgt_b, lstart_b, lcount_b, acc_b, pot_b = args
+        LL = cfg.leaf_list_max
+        CH = 16
+
+        def leaf_chunk(carry, sl):
+            acc, pot = carry
+            ls = jax.lax.dynamic_slice_in_dim(lstart_b, sl, CH, axis=1)
+            lc = jax.lax.dynamic_slice_in_dim(lcount_b, sl, CH, axis=1)
+            src = ls[:, :, None] + off[None, None, :]
+            smask = off[None, None, :] < lc[:, :, None]
+            src = jnp.clip(src, 0, n - 1)
+            spos = pos_box[src]
+            sm = jnp.where(smask & valid_sorted[src],
+                           mass_sorted[src], 0.0)
+            d = _wrap(spos.reshape(spos.shape[0], -1, 3)[:, None, :, :]
+                      - tgt_b[:, :, None, :])
+            rr = jnp.sqrt(jnp.sum(d * d, axis=-1))
+            mm = sm.reshape(sm.shape[0], -1)[:, None, :]
+            ff = softened_force_factor(rr, h_inv) \
+                * shortrange_force_window(rr, rs_inv) * mm
+            ff = jnp.where(rr < rcut, ff, 0.0)
+            acc = acc + jnp.sum(ff[..., None] * d, axis=2)
+            if with_potential:
+                pp = softened_pot_factor(rr, h_inv) \
+                    * shortrange_pot_window(rr, rs_inv) * mm
+                pp = jnp.where((rr > 0) & (rr < rcut), pp, 0.0)
+                pot = pot + jnp.sum(pp, axis=2)
+            return (acc, pot), None
+
+        (acc, pot), _ = jax.lax.scan(
+            leaf_chunk, (acc_b, pot_b), jnp.arange(0, LL, CH))
+        return acc, pot
+
+    B = cfg.group_batch
+    nb = (ngroups + B - 1) // B
+    pad = nb * B - ngroups
+
+    def padarr(a):
+        if pad == 0:
+            return a.reshape((nb, B) + a.shape[1:])
+        return jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1)).reshape(
+            (nb, B) + a.shape[1:])
+
+    acc_g, pot_g = jax.lax.map(
+        eval_batch, (padarr(tgt), padarr(lstart), padarr(lcount),
+                     padarr(acc0), padarr(pot0)))
+    acc_g = acc_g.reshape(-1, G, 3)[:ngroups]
+    pot_g = pot_g.reshape(-1, G)[:ngroups]
+
+    pj = jnp.arange(n, dtype=jnp.int32)
+    search_ps = jnp.where(leaf_nodes < tree.n_nodes, tps, n + 1)
+    gid = jnp.clip(jnp.searchsorted(search_ps, pj, side="right") - 1,
+                   0, ngroups - 1).astype(jnp.int32)
+    slot = pj - tps[gid]
+    covered = (slot >= 0) & (slot < jnp.minimum(tpc[gid], G))
+    acc = jnp.where(covered[:, None],
+                    acc_g[gid, jnp.clip(slot, 0, G - 1)], 0.0)
+    pot = jnp.where(covered, pot_g[gid, jnp.clip(slot, 0, G - 1)], 0.0)
+    return acc, pot

@@ -84,6 +84,20 @@ def build_simulation(paramfile_or_ps, override=None, snapshot=None):
         helium_heat_thresh=ps["HeliumHeatThresh"],
         helium_heat_amp=ps["HeliumHeatAmp"],
         helium_heat_exp=ps["HeliumHeatExp"],
+        starformation_on=bool(ps["StarformationOn"]),
+        wind_on=bool(ps["WindOn"]),
+        sfr_criterion=ps["StarformationCriterion"],
+        crit_overdensity=ps["CritOverDensity"],
+        crit_phys_density=ps["CritPhysDensity"],
+        factor_sn=ps["FactorSN"],
+        factor_evp=ps["FactorEVP"],
+        temp_supernova=ps["TempSupernova"],
+        temp_clouds=ps["TempClouds"],
+        max_sfr_timescale=ps["MaxSfrTimescale"],
+        generations=ps["Generations"],
+        quick_lya_probability=ps["QuickLymanAlphaProbability"],
+        quick_lya_temp_thresh=ps["QuickLymanAlphaTempThresh"],
+        random_seed=ps["RandomSeed"],
         snapshot_with_fof=bool(ps["SnapshotWithFOF"]),
         fof_file_base=ps["FOFFileBase"],
         fof_linking_length=ps["FOFHaloLinkingLength"],

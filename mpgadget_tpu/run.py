@@ -13,6 +13,7 @@ from dataclasses import dataclass, field
 from typing import Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .cosmology import Cosmology
@@ -69,6 +70,21 @@ class SimConfig:
     helium_heat_thresh: float = 10.0
     helium_heat_amp: float = 1.0
     helium_heat_exp: float = 0.0
+    # star formation
+    starformation_on: bool = False
+    wind_on: bool = False
+    sfr_criterion: int = 1
+    crit_overdensity: float = 57.7
+    crit_phys_density: float = 0.0
+    factor_sn: float = 0.1
+    factor_evp: float = 1000.0
+    temp_supernova: float = 1e8
+    temp_clouds: float = 1000.0
+    max_sfr_timescale: float = 1.5
+    generations: int = 4
+    quick_lya_probability: float = 0.0
+    quick_lya_temp_thresh: float = 1e5
+    random_seed: int = 42
     # FOF
     snapshot_with_fof: bool = False
     fof_file_base: str = "PIG"
@@ -449,6 +465,76 @@ class Simulation:
             entropy=jnp.where(gas, ent_new, self.sph.entropy),
             ne=jnp.where(gas, ne, self.sph.ne))
 
+    def _init_sfr(self):
+        from .physics.sfr import SFRParams, init_sfr
+        mass = np.asarray(self.pdata.mass)
+        gas = np.asarray(self.gas_mask)
+        avg_bar = float(mass[gas].mean()) if gas.any() else 0.0
+        par = SFRParams(
+            StarformationCriterion=self.cfg.sfr_criterion,
+            CritOverDensity=self.cfg.crit_overdensity,
+            CritPhysDensity=self.cfg.crit_phys_density,
+            FactorSN=self.cfg.factor_sn,
+            FactorEVP=self.cfg.factor_evp,
+            TempSupernova=self.cfg.temp_supernova,
+            TempClouds=self.cfg.temp_clouds,
+            MaxSfrTimescale=self.cfg.max_sfr_timescale,
+            Generations=self.cfg.generations,
+            QuickLymanAlphaProbability=self.cfg.quick_lya_probability,
+            QuickLymanAlphaTempThresh=self.cfg.quick_lya_temp_thresh,
+            WindOn=self.cfg.wind_on)
+        self._sfr = init_sfr(par, self.CP, self.cfg.units,
+                             self._cooling, self._cooling_units, avg_bar)
+
+    def apply_cooling_sfr(self, dloga):
+        """cooling_and_starformation (sfr_eff.c:187): eEOS + spawning
+        for star-forming gas, plain cooling otherwise."""
+        from .physics import sfr as sfrmod
+        from .physics.cooling import do_cooling
+        if not hasattr(self, "_cooling"):
+            self._init_cooling()
+        if not hasattr(self, "_sfr"):
+            self._init_sfr()
+        gas = self.gas_mask
+        atime = self.atime
+        redshift = 1.0 / atime - 1.0
+        hubble = self.CP.hubble_function(atime)
+        uvbg = self._treecool.get_global_uvbg(redshift)
+        key = jax.random.PRNGKey(
+            (self.cfg.random_seed + self.ti_current) % (2 ** 31))
+
+        def cool_fn(u, rho_phys, dt, ne, Z):
+            return do_cooling(self._cooling, redshift, u, rho_phys, dt,
+                              uvbg, ne, Z, self._min_egy_spec,
+                              self._cooling_units)
+
+        self.walltime.start("Cooling/SFR")
+        out = sfrmod.cooling_and_starformation(
+            self._sfr, self._cooling, self._cooling_units, key,
+            density=self.sph.density, entropy=self.sph.entropy,
+            ne=self.sph.ne, metallicity=self.sph.metallicity,
+            delay_time=self.sph.delay_time, mass=self.pdata.mass,
+            pid=self.pdata.pid, valid_gas=gas, redshift=redshift,
+            atime=atime, hubble=hubble, dloga=dloga, uvbg=uvbg,
+            do_cooling_fn=cool_fn, min_egy_spec=self._min_egy_spec)
+        self.walltime.stop("Cooling/SFR")
+        self.sph = self.sph.replace(
+            entropy=out["entropy"], ne=out["ne"], sfr=out["sfr"],
+            metallicity=out["metallicity"])
+        nstar = int(jnp.sum(out["make_star"].astype(jnp.int32)))
+        if nstar > 0:
+            self.pdata, self.sph, nspawn, ovf = sfrmod.spawn_stars(
+                self.pdata, self.sph, out["make_star"], out["convert"],
+                out["star_mass"], atime)
+            if bool(ovf):
+                raise RuntimeError("particle capacity exhausted while "
+                                   "spawning stars; raise PartAllocFactor")
+        # sfr.txt (stats.c:75-168 analog)
+        total_sfr = float(jnp.sum(out["sfr"]))
+        with open(os.path.join(self.cfg.output_dir, "sfr.txt"),
+                  "a") as fh:
+            fh.write(f"{atime:g} {total_sfr:g} {nstar}\n")
+
     def find_hydro_timestep_dloga(self):
         """Courant + Hsml-change criteria (timestep.c:1075-1090)."""
         from .utils.constants import GAMMA
@@ -527,8 +613,12 @@ class Simulation:
         # K: half kick with forces at t1
         self._apply_half_kick(th, t1)
         # Strang-split source terms (run.c:586-604)
-        if self.has_gas and self.cfg.cooling_on and self._gas_initialized:
-            self.apply_cooling(self.timeline.dloga_from_dti(dti, t0))
+        if self.has_gas and self._gas_initialized:
+            dloga = self.timeline.dloga_from_dti(dti, t0)
+            if self.cfg.starformation_on:
+                self.apply_cooling_sfr(dloga)
+            elif self.cfg.cooling_on:
+                self.apply_cooling(dloga)
 
     def run(self, max_steps: Optional[int] = None, verbose=True):
         """Main loop (run.c:314-800, PM-only path)."""
