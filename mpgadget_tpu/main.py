@@ -98,6 +98,8 @@ def build_simulation(paramfile_or_ps, override=None, snapshot=None):
         quick_lya_probability=ps["QuickLymanAlphaProbability"],
         quick_lya_temp_thresh=ps["QuickLymanAlphaTempThresh"],
         random_seed=ps["RandomSeed"],
+        massive_nu_lin_resp_on=bool(ps["MassiveNuLinRespOn"]),
+        m_nu=(ps["MNue"], ps["MNum"], ps["MNut"]),
         snapshot_with_fof=bool(ps["SnapshotWithFOF"]),
         fof_file_base=ps["FOFFileBase"],
         fof_linking_length=ps["FOFHaloLinkingLength"],

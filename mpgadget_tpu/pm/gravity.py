@@ -96,10 +96,9 @@ def _diff_kernel(w):
     return (8.0 * jnp.sin(w) - jnp.sin(2.0 * w)) / 6.0
 
 
-@partial(jax.jit, static_argnames=("nmesh", "compute_potential", "nbins",
-                                   "mode_multiplier"))
+@partial(jax.jit, static_argnames=("nmesh", "compute_potential", "nbins"))
 def _pm_force_kernel(ipos, weights, nmesh, boxsize, gconst, asmth,
-                     mode_multiplier=None, compute_potential=True,
+                     nu_logk=None, nu_fac=None, compute_potential=True,
                      nbins=None):
     """Core jitted PM computation; returns per-particle accel/potential
     and the raw binned power-spectrum accumulators."""
@@ -111,8 +110,14 @@ def _pm_force_kernel(ipos, weights, nmesh, boxsize, gconst, asmth,
     k2 = kx * kx + ky * ky + kz * kz
     deconv = _deconv(nmesh)
 
-    if mode_multiplier is not None:
-        rho_k = rho_k * mode_multiplier(k2)
+    if nu_logk is not None:
+        # massive-neutrino linear response: multiply modes by the
+        # interpolated 1 + f_nu delta_nu/delta_cdm table
+        # (potential_transfer, gravpm.c:415-436)
+        kmag = jnp.sqrt(k2) * (2 * np.pi / boxsize)
+        fac_nu = jnp.interp(jnp.log(jnp.maximum(kmag, 1e-30)),
+                            nu_logk, nu_fac)
+        rho_k = rho_k * jnp.where(k2 > 0, fac_nu, 1.0)
 
     # -- in-line power spectrum (powerspectrum_add_mode) ---------------
     if nbins is None:
@@ -158,16 +163,21 @@ def _pm_force_kernel(ipos, weights, nmesh, boxsize, gconst, asmth,
 
 
 def pm_force(ipos, weights, cfg: PMConfig,
-             mode_multiplier: Optional[Callable] = None,
+             nu_table=None,
              compute_potential: bool = True):
     """PM long-range force for particles at fixed-point positions.
 
-    Returns (accel f32[N,3] comoving internal, potential f32[N] or None,
-    PowerSpectrum).  weights must be zero for invalid particles.
+    nu_table: optional (logk, fac) arrays for the neutrino linear
+    response multiplier.  Returns (accel f32[N,3] comoving internal,
+    potential f32[N] or None, PowerSpectrum).  weights must be zero for
+    invalid particles.
     """
+    nu_logk, nu_fac = (None, None) if nu_table is None else (
+        jnp.asarray(nu_table[0], jnp.float32),
+        jnp.asarray(nu_table[1], jnp.float32))
     accel, pot, (p, n, k, norm) = _pm_force_kernel(
         ipos, weights, cfg.nmesh, cfg.boxsize, cfg.G, cfg.asmth,
-        mode_multiplier, compute_potential)
+        nu_logk, nu_fac, compute_potential)
     ps = _finalize_power(np.asarray(p), np.asarray(n), np.asarray(k),
                          float(norm), cfg)
     return accel, pot, ps
@@ -184,3 +194,37 @@ def _finalize_power(p, n, k, norm, cfg: PMConfig) -> PowerSpectrum:
         kk[good] = k[good] / n[good] * 2 * np.pi / box_mpc
     return PowerSpectrum(k=kk[good], power=pk[good], nmodes=n[good],
                          norm=norm)
+
+
+@partial(jax.jit, static_argnames=("nmesh", "nbins"))
+def _measure_power_kernel(ipos, weights, nmesh, nbins=None):
+    """Deposit + FFT + binned |delta_k|^2 only (measure_power_spectrum,
+    powerspectrum.c:163-180): used to get delta_cdm for the neutrino
+    response before the potential multiplier is applied."""
+    mass_mesh = cic_deposit(ipos, weights, nmesh)
+    rho_k = jnp.fft.rfftn(mass_mesh)
+    kx, ky, kz = _kmodes(nmesh)
+    k2 = kx * kx + ky * ky + kz * kz
+    deconv = _deconv(nmesh)
+    if nbins is None:
+        nbins = nmesh
+    m2 = (rho_k.real ** 2 + rho_k.imag ** 2) * deconv * deconv
+    w = jnp.where((kz == 0) | (kz == nmesh // 2), 1.0, 2.0) \
+        * jnp.ones_like(k2)
+    binsperunit = (nbins - 1) / np.log(np.sqrt(3.0) * nmesh / 2.0)
+    kint = jnp.floor(binsperunit * 0.5 * jnp.log(
+        jnp.maximum(k2, 1e-30))).astype(jnp.int32)
+    kint = jnp.where(k2 == 0, nbins, kint)
+    keff = jnp.sqrt(k2)
+    flat = kint.ravel()
+    p_bins = jnp.zeros(nbins + 1).at[flat].add((w * m2).ravel())[:nbins]
+    n_bins = jnp.zeros(nbins + 1).at[flat].add(w.ravel())[:nbins]
+    k_bins = jnp.zeros(nbins + 1).at[flat].add((w * keff).ravel())[:nbins]
+    norm = rho_k[0, 0, 0].real ** 2
+    return p_bins, n_bins, k_bins, norm
+
+
+def measure_power(ipos, weights, cfg: PMConfig) -> PowerSpectrum:
+    p, n, k, norm = _measure_power_kernel(ipos, weights, cfg.nmesh)
+    return _finalize_power(np.asarray(p), np.asarray(n), np.asarray(k),
+                           float(norm), cfg)

@@ -85,6 +85,9 @@ class SimConfig:
     quick_lya_probability: float = 0.0
     quick_lya_temp_thresh: float = 1e5
     random_seed: int = 42
+    # massive neutrinos (linear response)
+    massive_nu_lin_resp_on: bool = False
+    m_nu: tuple = (0.0, 0.0, 0.0)
     # FOF
     snapshot_with_fof: bool = False
     fof_file_base: str = "PIG"
@@ -160,6 +163,9 @@ class Simulation:
             CMBTemperature=header.CMBTemperature,
             Omega_fld=header.Omega_fld, w0_fld=header.w0_fld,
             wa_fld=header.wa_fld, Omega_ur=header.Omega_ur,
+            MNu=tuple(cfg_kwargs.get("m_nu", (0.0, 0.0, 0.0))),
+            MassiveNuLinRespOn=bool(
+                cfg_kwargs.get("massive_nu_lin_resp_on", False)),
             TimeBegin=header.Time,
         ).init_units(units)
         cfg_kwargs = dict(cfg_kwargs)
@@ -202,9 +208,20 @@ class Simulation:
         """Long-range PM force (+ short-range tree when enabled)."""
         weights = jnp.where(self.pdata.valid, self.pdata.mass,
                             jnp.float32(0))
+        nu_table = None
+        if self.cfg.massive_nu_lin_resp_on:
+            nu_table = self._neutrino_response(weights)
         self.walltime.start("PMgrav")
-        accel, pot, ps = pm_force(self.pdata.ipos, weights, self.pm_cfg)
+        accel, pot, ps = pm_force(self.pdata.ipos, weights, self.pm_cfg,
+                                  nu_table=nu_table)
         self.walltime.stop("PMgrav")
+        if self.cfg.massive_nu_lin_resp_on and ps is not None:
+            # The modes were scaled by nufac (total matter) but the
+            # zero-mode Norm is still the CDM mass squared; rescale so
+            # the output is the total matter power (gravpm.c:442-447)
+            onu = self.CP.ONu.nopart(self.atime) * self.atime ** 3
+            fac = self.CP.Omega0 / (self.CP.Omega0 - onu)
+            ps.power = ps.power / (fac * fac)
         self.pdata = self.pdata.replace(grav_pm=accel)
         if pot is not None:
             self.pdata = self.pdata.replace(potential=pot)
@@ -217,6 +234,23 @@ class Simulation:
         else:
             self.pdata = self.pdata.replace(
                 grav_accel=jnp.zeros_like(self.pdata.grav_accel))
+
+    def _neutrino_response(self, weights):
+        """Per-PM-step neutrino linear-response table
+        (compute_neutrino_power, gravpm.c:307-330)."""
+        from .pm.gravity import measure_power
+        from .physics.neutrinos_lra import DeltaTotTable
+        from .utils import constants as C
+        ps = measure_power(self.pdata.ipos, weights, self.pm_cfg)
+        good = ps.nmodes > 0
+        scale = self.cfg.units.UnitLength_in_cm / C.CM_PER_MPC
+        k_int = ps.k[good] * scale          # internal 1/length
+        delta = np.sqrt(np.maximum(ps.power[good], 0.0))
+        if getattr(self, "_nu_table_state", None) is None:
+            self._nu_table_state = DeltaTotTable(
+                self.CP, k_int, delta, self.atime, self.cfg.units)
+        logk, nufac = self._nu_table_state.step(self.atime, delta)
+        return (logk, nufac)
 
     def _compute_tree_forces(self):
         from .gravity.treepm import TreeGravity
