@@ -97,6 +97,16 @@ def build_simulation(paramfile_or_ps, override=None, snapshot=None):
         generations=ps["Generations"],
         quick_lya_probability=ps["QuickLymanAlphaProbability"],
         quick_lya_temp_thresh=ps["QuickLymanAlphaTempThresh"],
+        wind_model=ps["WindModel"],
+        wind_efficiency=ps["WindEfficiency"],
+        wind_energy_fraction=ps["WindEnergyFraction"],
+        wind_sigma0=ps["WindSigma0"],
+        wind_speed_factor=ps["WindSpeedFactor"],
+        wind_free_travel_length=ps["WindFreeTravelLength"],
+        wind_free_travel_dens_fac=ps["WindFreeTravelDensFac"],
+        min_wind_velocity=ps["MinWindVelocity"],
+        wind_thermal_factor=ps["WindThermalFactor"],
+        max_wind_free_travel_time=ps["MaxWindFreeTravelTime"],
         random_seed=ps["RandomSeed"],
         massive_nu_lin_resp_on=bool(ps["MassiveNuLinRespOn"]),
         m_nu=(ps["MNue"], ps["MNum"], ps["MNut"]),

@@ -224,7 +224,9 @@ def cooling_and_starformation(par: SFRParams, cr, cunits, rng_key,
             "sfr": jnp.where(valid_gas, sfr, 0.0),
             "metallicity": jnp.where(valid_gas, met_new, metallicity),
             "make_star": make_star, "convert": convert,
-            "star_mass": jnp.where(make_star, mass_of_star, 0.0)}
+            "star_mass": jnp.where(make_star, mass_of_star, 0.0),
+            "sm": jnp.where(on_eeqos, dM, 0.0),
+            "on_eeqos": on_eeqos}
 
 
 def _id_uniform(key, pid):

@@ -1,0 +1,180 @@
+"""Galactic winds (libgadget/winds.c + veldisp.c).
+
+Wind models as flag combinations (winds.c:60-100):
+* sh03  = subgrid + decouple + fixed efficiency
+* vs08  = fixed efficiency
+* ofjt10 = halo (velocity-dispersion scaled) + decouple (default)
+
+The subgrid model kicks the star-forming gas itself after star
+formation (winds_make_after_sf, winds.c:572-589); the halo model scales
+the wind speed with the local DM velocity dispersion (veldisp.c), which
+here is a vectorized neighbor-pair reduction over the DM tree.
+Decoupled particles (DelayTime > 0) skip hydro forces and recouple by
+time or density (winds.c:113-136).
+"""
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..utils import constants as C
+from .sfr import _id_uniform
+
+WIND_SUBGRID = 1
+WIND_DECOUPLE_SPH = 2
+WIND_USE_HALO = 4
+WIND_FIXED_EFFICIENCY = 8
+
+
+@dataclass
+class WindParams:
+    model: int = WIND_USE_HALO | WIND_DECOUPLE_SPH  # ofjt10
+    efficiency: float = 2.0          # WindEfficiency
+    energy_fraction: float = 1.0     # WindEnergyFraction
+    sigma0: float = 353.0            # km/s
+    speed_factor: float = 3.7
+    free_travel_length: float = 20.0
+    free_travel_dens_fac: float = 0.1
+    min_wind_velocity: float = 0.0
+    thermal_factor: float = 0.0
+    max_free_travel_time: float = 60.0  # Myr (converted by init)
+    # derived
+    wind_speed: float = 0.0
+    free_travel_dens_thresh: float = 0.0
+
+
+def init_winds(par: WindParams, factor_sn, egy_spec_sn,
+               phys_dens_thresh, unit_time_in_s):
+    """init_winds (winds.c:87-102)."""
+    par.wind_speed = np.sqrt(2 * par.energy_fraction * factor_sn
+                             * egy_spec_sn / (1 - factor_sn))
+    par.max_free_travel_time = (par.max_free_travel_time
+                                * C.SEC_PER_MEGAYEAR / unit_time_in_s)
+    par.free_travel_dens_thresh = par.free_travel_dens_fac \
+        * phys_dens_thresh
+    if par.model & WIND_FIXED_EFFICIENCY:
+        par.wind_speed /= np.sqrt(par.efficiency)
+    return par
+
+
+def get_wind_kick(par: WindParams, vdisp, atime):
+    """(vel, windeff, utherm) per particle (get_wind_params,
+    winds.c:497-511).  vdisp in internal velocity units."""
+    vphys = vdisp / atime
+    utherm = par.thermal_factor * 1.5 * vphys * vphys
+    if par.model & WIND_FIXED_EFFICIENCY:
+        windeff = jnp.full_like(vdisp, par.efficiency)
+        vel = jnp.full_like(vdisp, par.wind_speed * atime)
+    else:  # halo model
+        windeff = par.sigma0 ** 2 / (vphys * vphys + 2 * utherm + 1e-30)
+        vel = par.speed_factor * vdisp
+    vel = jnp.maximum(vel, par.min_wind_velocity * atime)
+    return vel, windeff, utherm
+
+
+def winds_subgrid(par: WindParams, key, *, sm, mass, pid, vdisp, vel,
+                  entropy, density, delay_time, eligible, atime):
+    """Subgrid wind kicks after star formation (winds_make_after_sf +
+    wind_do_kick, winds.c:454-589), vectorized.
+
+    sm: stellar mass formed this step per particle. Returns updated
+    (vel, entropy, delay_time, kicked mask)."""
+    wvel, windeff, utherm = get_wind_kick(par, vdisp, atime)
+    pw = windeff * sm / jnp.maximum(mass, 1e-30)
+    prob = 1 - jnp.exp(-pw)
+    draw = _id_uniform(key, pid + 2)
+    kicked = eligible & (draw < prob) & (wvel > 0)
+    # isotropic direction from per-ID deviates
+    u1 = _id_uniform(key, pid + 3)
+    u2 = _id_uniform(key, pid + 4)
+    costheta = 2 * u1 - 1
+    sintheta = jnp.sqrt(jnp.maximum(1 - costheta ** 2, 0.0))
+    phi = 2 * np.pi * u2
+    direction = jnp.stack([sintheta * jnp.cos(phi),
+                           sintheta * jnp.sin(phi), costheta], axis=-1)
+    vel_new = vel + jnp.where(kicked[:, None],
+                              wvel[:, None] * direction, 0.0)
+    a3inv = 1.0 / atime ** 3
+    enttou = (density * a3inv) ** C.GAMMA_MINUS1 / C.GAMMA_MINUS1
+    ent_new = entropy + jnp.where(kicked,
+                                  utherm / jnp.maximum(enttou, 1e-30),
+                                  0.0)
+    if par.model & WIND_DECOUPLE_SPH and par.max_free_travel_time > 0:
+        delay = par.free_travel_length / jnp.maximum(
+            wvel / atime, 1e-30)
+        delay = jnp.minimum(delay, par.max_free_travel_time)
+        delay_new = jnp.where(kicked, delay, delay_time)
+    else:
+        delay_new = delay_time
+    return vel_new, ent_new, delay_new, kicked
+
+
+def winds_decouple_update(par: WindParams, delay_time, density, dtime,
+                          atime):
+    """Advance the decoupling timers and recouple by density
+    (winds.c:113-136)."""
+    delay = jnp.maximum(delay_time - dtime, 0.0)
+    a3inv = 1.0 / atime ** 3
+    recouple = density * a3inv < par.free_travel_dens_thresh
+    return jnp.where(recouple, 0.0, delay)
+
+
+def dm_velocity_dispersion(ipos, vel, mass, is_dm, is_gas, boxsize,
+                           mean_sep, nsearch_radius=2.0):
+    """1D DM velocity dispersion around gas particles
+    (winds_find_vel_disp, veldisp.c): a neighbor-pair reduction of
+    sum(v), sum(v^2), count over DM within a fixed search radius."""
+    from ..ops import pairs
+    from ..gravity.tree import build_tree
+    from ..gravity.treewalk import make_target_groups
+    from ..ops.morton import morton_key
+
+    n = ipos.shape[0]
+    keys = morton_key(ipos)
+    # tree over DM only (sources); gas targets walk it
+    keys_dm = jnp.where(is_dm, keys, ~jnp.uint64(0))
+    perm = jnp.argsort(keys_dm)
+    inv = jnp.argsort(perm)
+    ipos_s = ipos[perm]
+    valid_s = is_dm[perm]
+    pos_box = ipos_s.astype(jnp.float32) * jnp.float32(2.0 ** -32)
+    cap = 2 * n + 64
+    tree = build_tree(keys_dm[perm], ipos_s, mass[perm], valid_s,
+                      16, 18, cap, group_max=32)
+    group_cap = min((8 * n) // 32 + 64, n + 64)
+    leaf_nodes, gc, gh, _, ngr, _ = make_target_groups(
+        tree, pos_box, jnp.full(n, jnp.inf, jnp.float32), group_cap, 32)
+    radius = nsearch_radius * mean_sep / boxsize
+    ll = 96
+    for _ in range(4):
+        nbr = pairs.find_neighbors(tree, leaf_nodes, gc, gh,
+                                   jnp.full(gc.shape[0], radius,
+                                            jnp.float32),
+                                   None, ll, symmetric=False)
+        if not bool(jnp.any(nbr.overflow)):
+            break
+        ll *= 2
+
+    rb = jnp.float32(radius)
+
+    def pair_fn(dx, r, tmask, smask, tfeat, sfeat):
+        near = (r < rb) & (sfeat["isdm"] > 0)
+        w = jnp.where(near, 1.0, 0.0)
+        return {"n": w,
+                "vx": w * sfeat["v"][..., 0],
+                "vy": w * sfeat["v"][..., 1],
+                "vz": w * sfeat["v"][..., 2],
+                "v2": w * jnp.sum(sfeat["v"] ** 2, axis=-1)}
+
+    out = pairs.pair_reduce(
+        pair_fn, nbr, tree, pos_box, {},
+        {"v": vel[perm], "isdm": is_dm[perm].astype(jnp.float32)},
+        {k: "sum" for k in ("n", "vx", "vy", "vz", "v2")}, 32, 16)
+    cnt = jnp.maximum(out["n"], 1.0)
+    vmean2 = (out["vx"] ** 2 + out["vy"] ** 2 + out["vz"] ** 2) \
+        / cnt ** 2
+    var3d = jnp.maximum(out["v2"] / cnt - vmean2, 0.0)
+    vdisp = jnp.sqrt(var3d / 3.0)
+    return vdisp[inv]

@@ -84,6 +84,16 @@ class SimConfig:
     generations: int = 4
     quick_lya_probability: float = 0.0
     quick_lya_temp_thresh: float = 1e5
+    wind_model: int = 4 | 2   # ofjt10
+    wind_efficiency: float = 2.0
+    wind_energy_fraction: float = 1.0
+    wind_sigma0: float = 353.0
+    wind_speed_factor: float = 3.7
+    wind_free_travel_length: float = 20.0
+    wind_free_travel_dens_fac: float = 0.1
+    min_wind_velocity: float = 0.0
+    wind_thermal_factor: float = 0.0
+    max_wind_free_travel_time: float = 60.0
     random_seed: int = 42
     # massive neutrinos (linear response)
     massive_nu_lin_resp_on: bool = False
@@ -441,9 +451,17 @@ class Simulation:
             self.sph.curl_vel, self.sph.dhsml_egy_factor, hp,
             self.cfg.boxsize, atime, hubble, dloga)
         self.walltime.stop("SPH/Hydro")
+        hydro_accel = res["hydro_accel"]
+        dt_entropy = res["dt_entropy"]
+        if self.cfg.wind_on and self._gas_initialized:
+            # decoupled wind particles feel no hydro force
+            # (winds_decoupled_hydro, winds.c:113-136)
+            dec = self.sph.delay_time > 0
+            hydro_accel = jnp.where(dec[:, None], 0.0, hydro_accel)
+            dt_entropy = jnp.where(dec, 0.0, dt_entropy)
         self.sph = self.sph.replace(
-            hydro_accel=res["hydro_accel"],
-            dt_entropy=res["dt_entropy"],
+            hydro_accel=hydro_accel,
+            dt_entropy=dt_entropy,
             max_signal_vel=res["max_signal_vel"])
 
     def _init_cooling(self):
@@ -519,6 +537,24 @@ class Simulation:
             WindOn=self.cfg.wind_on)
         self._sfr = init_sfr(par, self.CP, self.cfg.units,
                              self._cooling, self._cooling_units, avg_bar)
+        if self.cfg.wind_on:
+            from .physics.winds import WindParams, init_winds
+            wp = WindParams(
+                model=self.cfg.wind_model,
+                efficiency=self.cfg.wind_efficiency,
+                energy_fraction=self.cfg.wind_energy_fraction,
+                sigma0=self.cfg.wind_sigma0,
+                speed_factor=self.cfg.wind_speed_factor,
+                free_travel_length=self.cfg.wind_free_travel_length,
+                free_travel_dens_fac=self.cfg.wind_free_travel_dens_fac,
+                min_wind_velocity=self.cfg.min_wind_velocity,
+                thermal_factor=self.cfg.wind_thermal_factor,
+                max_free_travel_time=self.cfg.max_wind_free_travel_time)
+            self._winds = init_winds(
+                wp, self._sfr.FactorSN, self._sfr.EgySpecSN,
+                self._sfr.PhysDensThresh,
+                self.cfg.units.UnitTime_in_s)
+            self._vdisp = jnp.zeros(self.pdata.capacity, jnp.float32)
 
     def apply_cooling_sfr(self, dloga):
         """cooling_and_starformation (sfr_eff.c:187): eEOS + spawning
@@ -555,6 +591,29 @@ class Simulation:
         self.sph = self.sph.replace(
             entropy=out["entropy"], ne=out["ne"], sfr=out["sfr"],
             metallicity=out["metallicity"])
+        # winds (subgrid: kick the SF gas; halo: uses DM vel dispersion)
+        if self.cfg.wind_on:
+            from .physics import winds as windmod
+            wkey = jax.random.fold_in(key, 77)
+            vdisp = getattr(self, "_vdisp",
+                            jnp.zeros(self.pdata.capacity, jnp.float32))
+            vel_new, ent_new, delay_new, kicked = windmod.winds_subgrid(
+                self._winds, wkey, sm=out["sm"], mass=self.pdata.mass,
+                pid=self.pdata.pid, vdisp=vdisp, vel=self.pdata.vel,
+                entropy=self.sph.entropy, density=self.sph.density,
+                delay_time=self.sph.delay_time,
+                eligible=out["on_eeqos"] if (self.cfg.wind_model
+                                             & 1) else out["make_star"],
+                atime=atime)
+            self.pdata = self.pdata.replace(vel=vel_new)
+            self.sph = self.sph.replace(entropy=ent_new,
+                                        delay_time=delay_new)
+            # advance decoupling timers
+            hubble_now = self.CP.hubble_function(atime)
+            self.sph = self.sph.replace(
+                delay_time=windmod.winds_decouple_update(
+                    self._winds, self.sph.delay_time,
+                    self.sph.density, dloga / hubble_now, atime))
         nstar = int(jnp.sum(out["make_star"].astype(jnp.int32)))
         if nstar > 0:
             self.pdata, self.sph, nspawn, ovf = sfrmod.spawn_stars(
@@ -642,6 +701,17 @@ class Simulation:
         # Forces at t1
         if self.has_gas and self.cfg.hydro_on:
             dloga = self.timeline.dloga_from_dti(dti, t0)
+            # halo wind model needs the DM velocity dispersion; computed
+            # on (PM) steps like the reference (run.c:646-647)
+            if (self.cfg.wind_on and self._gas_initialized
+                    and (self.cfg.wind_model & 4)):
+                from .physics.winds import dm_velocity_dispersion
+                npart = float(np.asarray(self.pdata.num_valid))
+                mean_sep = self.cfg.boxsize / max(1.0, np.cbrt(npart))
+                self._vdisp = dm_velocity_dispersion(
+                    self.pdata.ipos, self.pdata.vel, self.pdata.mass,
+                    self.pdata.valid & (self.pdata.ptype == 1),
+                    self.gas_mask, self.cfg.boxsize, mean_sep)
             self.compute_hydro(dloga)
         self.compute_forces()
         # K: half kick with forces at t1
