@@ -110,6 +110,15 @@ def build_simulation(paramfile_or_ps, override=None, snapshot=None):
         random_seed=ps["RandomSeed"],
         massive_nu_lin_resp_on=bool(ps["MassiveNuLinRespOn"]),
         m_nu=(ps["MNue"], ps["MNum"], ps["MNut"]),
+        black_hole_on=bool(ps["BlackHoleOn"]),
+        bh_accretion_factor=ps["BlackHoleAccretionFactor"],
+        bh_eddington_factor=ps["BlackHoleEddingtonFactor"],
+        bh_feedback_factor=ps["BlackHoleFeedbackFactor"],
+        bh_seed_mass=ps["SeedBlackHoleMass"],
+        bh_ngb_factor=ps["BlackHoleNgbFactor"],
+        min_fof_mass_for_seed=ps["MinFoFMassForNewSeed"],
+        min_mstar_for_seed=ps["MinMStarForNewSeed"],
+        time_between_seeding=ps["TimeBetweenSeedingSearch"],
         snapshot_with_fof=bool(ps["SnapshotWithFOF"]),
         fof_file_base=ps["FOFFileBase"],
         fof_linking_length=ps["FOFHaloLinkingLength"],

@@ -98,6 +98,16 @@ class SimConfig:
     # massive neutrinos (linear response)
     massive_nu_lin_resp_on: bool = False
     m_nu: tuple = (0.0, 0.0, 0.0)
+    # black holes
+    black_hole_on: bool = False
+    bh_accretion_factor: float = 100.0
+    bh_eddington_factor: float = 2.1
+    bh_feedback_factor: float = 0.05
+    bh_seed_mass: float = 2e-5
+    bh_ngb_factor: float = 2.0
+    min_fof_mass_for_seed: float = 2.0
+    min_mstar_for_seed: float = 5e-4
+    time_between_seeding: float = 1.04
     # FOF
     snapshot_with_fof: bool = False
     fof_file_base: str = "PIG"
@@ -137,6 +147,7 @@ class Simulation:
         self.has_gas = bool(np.any(np.asarray(pdata.ptype) == 0)
                             & np.any(np.asarray(pdata.valid)))
         self.sph = None
+        self.bh = None
         self._gas_initialized = False
         self._min_egy_spec = 0.0
 
@@ -719,6 +730,8 @@ class Simulation:
         # Strang-split source terms (run.c:586-604)
         if self.has_gas and self._gas_initialized:
             dloga = self.timeline.dloga_from_dti(dti, t0)
+            if self.cfg.black_hole_on:
+                self.apply_blackholes(dloga)
             if self.cfg.starformation_on:
                 self.apply_cooling_sfr(dloga)
             elif self.cfg.cooling_on:
@@ -754,7 +767,9 @@ class Simulation:
                 self.write_snapshot()
                 if sp.write_fof or (self.cfg.snapshot_with_fof
                                     and sp.write_snapshot):
-                    self.run_fof()
+                    cat = self.run_fof()
+                    if self.cfg.black_hole_on:
+                        self.seed_black_holes_from_fof(cat)
             if self.last_power is not None:
                 D1 = self.CP.GrowthFactor(self.atime, 1.0)
                 self.last_power.save(self.cfg.output_dir, self.atime, D1)
@@ -766,6 +781,102 @@ class Simulation:
             if max_steps and nsteps >= max_steps:
                 break
         return nsteps
+
+    # -- black holes ----------------------------------------------------
+
+    def _bh_params(self):
+        from .physics.blackhole import BHParams
+        return BHParams(
+            accretion_factor=self.cfg.bh_accretion_factor,
+            eddington_factor=self.cfg.bh_eddington_factor,
+            feedback_factor=self.cfg.bh_feedback_factor,
+            seed_mass=self.cfg.bh_seed_mass,
+            ngb_factor=self.cfg.bh_ngb_factor,
+            min_fof_mass_for_seed=self.cfg.min_fof_mass_for_seed,
+            min_mstar_for_seed=self.cfg.min_mstar_for_seed)
+
+    def apply_blackholes(self, dloga):
+        """BH accretion + swallowing + thermal feedback (blackhole(),
+        blackhole.c:216-360), executed when any BHs exist."""
+        from .physics import blackhole as bhmod
+        is_bh = self.pdata.valid & (self.pdata.ptype == 5)
+        nbh = int(jnp.sum(is_bh.astype(jnp.int32)))
+        if nbh == 0:
+            return
+        if getattr(self, "bh", None) is None:
+            self.bh = bhmod.BhData.zeros(self.pdata.capacity)
+        par = self._bh_params()
+        gas = self.gas_mask
+        atime = self.atime
+        hubble = self.CP.hubble_function(atime)
+        dtime = dloga / hubble
+        self.walltime.start("BH")
+        sums = bhmod.bh_neighbor_sums(
+            self.pdata.ipos, self.pdata.mass, self.pdata.hsml,
+            self.pdata.vel, self.sph.entropy, is_bh, gas,
+            self.cfg.boxsize,
+            kernel_type=self.cfg.density_kernel_type)
+        self.bh = self.bh.replace(bh_density=jnp.asarray(sums["rho"]))
+        gasvel = jnp.stack([sums["vx"], sums["vy"], sums["vz"]],
+                           axis=-1)
+        mdot, dm = bhmod.bondi_accretion(
+            par, self.bh.bh_mass, self.bh.bh_density, sums["ent"],
+            gasvel, self.pdata.vel, atime, self.CP.GravInternal,
+            self.cfg.units.UnitTime_in_s, self.CP.HubbleParam, dtime)
+        self.bh = self.bh.replace(
+            mdot=jnp.where(is_bh, mdot, 0.0),
+            bh_mass=jnp.where(is_bh, self.bh.bh_mass + dm,
+                              self.bh.bh_mass))
+        key = jax.random.PRNGKey(
+            (self.cfg.random_seed + self.ti_current + 5) % (2 ** 31))
+        swallowed, ent_new, bhrow = bhmod.swallow_and_feedback(
+            par, key, ipos=self.pdata.ipos, mass=self.pdata.mass,
+            hsml=self.pdata.hsml, entropy=self.sph.entropy,
+            density=self.sph.density, is_bh=is_bh, is_gas=gas,
+            pid=self.pdata.pid, bh_mass=self.bh.bh_mass,
+            mdot=self.bh.mdot, bh_density=self.bh.bh_density,
+            fbweight=jnp.asarray(sums["fbweight"]),
+            boxsize=self.cfg.boxsize, atime=atime, dtime=dtime,
+            unit_velocity=self.cfg.units.UnitVelocity_in_cm_per_s,
+            uu_in_cgs=self.cfg.units.UnitInternalEnergy_in_cgs,
+            kernel_type=self.cfg.density_kernel_type)
+        self.sph = self.sph.replace(entropy=ent_new)
+        # finalize swallowing on host: add mass+momentum to swallowers
+        nsw = int(jnp.sum(swallowed.astype(jnp.int32)))
+        if nsw > 0:
+            sw = np.asarray(swallowed)
+            rows = np.asarray(bhrow)[sw]
+            m = np.asarray(self.pdata.mass)
+            v = np.asarray(self.pdata.vel)
+            mom = m[sw, None] * v[sw]
+            newmass = m.copy()
+            newmom = m[:, None] * v
+            np.add.at(newmass, rows, m[sw])
+            np.add.at(newmom, rows, mom)
+            newvel = np.where((newmass > 0)[:, None],
+                              newmom / np.maximum(newmass, 1e-30)[:, None],
+                              v)
+            valid = np.asarray(self.pdata.valid)
+            valid[sw] = False
+            self.pdata = self.pdata.replace(
+                mass=jnp.asarray(newmass), vel=jnp.asarray(newvel),
+                valid=jnp.asarray(valid))
+        self.walltime.stop("BH")
+        # blackholes.txt (stats.c analog)
+        mdot_tot = float(jnp.sum(self.bh.mdot))
+        mbh_tot = float(jnp.sum(jnp.where(is_bh, self.bh.bh_mass, 0.0)))
+        with open(os.path.join(self.cfg.output_dir, "blackholes.txt"),
+                  "a") as fh:
+            fh.write(f"{atime:g} {nbh} {mbh_tot:g} {mdot_tot:g} {nsw}\n")
+
+    def seed_black_holes_from_fof(self, cat):
+        from .physics import blackhole as bhmod
+        if getattr(self, "bh", None) is None:
+            self.bh = bhmod.BhData.zeros(self.pdata.capacity)
+        self.pdata, self.bh, nseeded = bhmod.seed_black_holes(
+            self._bh_params(), cat, self.pdata, self.bh, self.sph,
+            self.atime)
+        return nseeded
 
     # -- FOF -----------------------------------------------------------
 
