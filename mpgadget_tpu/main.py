@@ -119,6 +119,9 @@ def build_simulation(paramfile_or_ps, override=None, snapshot=None):
         min_fof_mass_for_seed=ps["MinFoFMassForNewSeed"],
         min_mstar_for_seed=ps["MinMStarForNewSeed"],
         time_between_seeding=ps["TimeBetweenSeedingSearch"],
+        time_limit_cpu=ps["TimeLimitCPU"],
+        auto_snapshot_time=ps["AutoSnapshotTime"],
+        output_energy_debug=bool(ps["OutputEnergyDebug"]),
         snapshot_with_fof=bool(ps["SnapshotWithFOF"]),
         fof_file_base=ps["FOFFileBase"],
         fof_linking_length=ps["FOFHaloLinkingLength"],
@@ -142,7 +145,9 @@ def main():
     snapnum = int(sys.argv[3]) if len(sys.argv) > 3 else None
 
     snapshot = None
-    if restart in (1, 2, 3, 4):
+    if restart in (2, 3, 4, 99) and snapnum is None and restart != 99:
+        raise SystemExit("RestartFlag %d needs a snapshot number" % restart)
+    if restart == 1 or (restart in (2, 3, 4, 99) and snapnum is not None):
         ps = create_gadget_parameter_set()
         ps.parse_file(paramfile)
         outdir = ps["OutputDir"]
@@ -155,6 +160,9 @@ def main():
     sim, ps = build_simulation(paramfile, snapshot=snapshot)
     if restart == 3:
         sim.run_fof(save=True, label=snapnum)
+        return
+    if restart == 99:
+        sim.run_gravity_test()
         return
     if restart == 4:
         sim.compute_forces()

@@ -108,6 +108,10 @@ class SimConfig:
     min_fof_mass_for_seed: float = 2.0
     min_mstar_for_seed: float = 5e-4
     time_between_seeding: float = 1.04
+    # control
+    time_limit_cpu: float = 0.0
+    auto_snapshot_time: float = 0.0
+    output_energy_debug: bool = False
     # FOF
     snapshot_with_fof: bool = False
     fof_file_base: str = "PIG"
@@ -740,6 +744,12 @@ class Simulation:
     def run(self, max_steps: Optional[int] = None, verbose=True):
         """Main loop (run.c:314-800, PM-only path)."""
         os.makedirs(self.cfg.output_dir, exist_ok=True)
+        from .utils.hci import (HCIManager, HCI_STOP, HCI_TERMINATE,
+                                HCI_CHECKPOINT, HCI_TIMEOUT,
+                                HCI_AUTO_CHECKPOINT, HCI_NO_ACTION)
+        hci = HCIManager(self.cfg.output_dir,
+                         time_limit_cpu=self.cfg.time_limit_cpu,
+                         auto_checkpoint_time=self.cfg.auto_snapshot_time)
         if self.has_gas and self.cfg.hydro_on and not self._gas_initialized:
             if getattr(self, "_gas_restore", None):
                 self._restore_gas()
@@ -750,6 +760,16 @@ class Simulation:
         self.compute_forces()
         nsteps = 0
         while self.ti_current < self.timeline.ti_end:
+            action = hci.query()
+            if action in (HCI_STOP, HCI_TIMEOUT):
+                self.write_snapshot()
+                break
+            if action == HCI_TERMINATE:
+                break
+            if action in (HCI_CHECKPOINT, HCI_AUTO_CHECKPOINT):
+                self.write_snapshot()
+            import time as _t
+            _step_t0 = _t.monotonic()
             dti = self.find_pm_timestep()
             if self.has_gas and self.cfg.hydro_on:
                 dloga_h = self.find_hydro_timestep_dloga()
@@ -762,9 +782,12 @@ class Simulation:
                 raise RuntimeError(f"Bad timestep {dti}")
             self.step(dti)
             nsteps += 1
+            hci.update_longest_step(_t.monotonic() - _step_t0)
             sp = self.timeline.find_current_sync_point(self.ti_current)
             if sp is not None and sp.write_snapshot:
                 self.write_snapshot()
+                if self.cfg.output_energy_debug:
+                    self.energy_statistics()
                 if sp.write_fof or (self.cfg.snapshot_with_fof
                                     and sp.write_snapshot):
                     cat = self.run_fof()
@@ -934,6 +957,82 @@ class Simulation:
         hdr.attrs["OmegaLambda"] = float(self.CP.OmegaLambda)
         hdr.attrs["HubbleParam"] = float(self.CP.HubbleParam)
         return path
+
+    # -- statistics ------------------------------------------------------
+
+    def energy_statistics(self):
+        """energy.txt: kinetic/internal/potential energies per component
+        (energy_statistics, stats.c:389-412 — same column layout)."""
+        from .utils.constants import GAMMA_MINUS1
+        atime = self.atime
+        valid = np.asarray(self.pdata.valid)
+        ptype = np.asarray(self.pdata.ptype)
+        mass = np.asarray(self.pdata.mass, np.float64)
+        vel = np.asarray(self.pdata.vel, np.float64)
+        pot = np.asarray(self.pdata.potential, np.float64)
+        ekin_p = 0.5 * mass * (vel ** 2).sum(axis=1) / atime ** 2
+        epot_p = 0.5 * mass * pot
+        if self.sph is not None:
+            a3inv = atime ** -3
+            rho = np.asarray(self.sph.density, np.float64)
+            u = np.asarray(self.sph.entropy, np.float64) \
+                / GAMMA_MINUS1 * np.maximum(rho * a3inv,
+                                            1e-30) ** GAMMA_MINUS1
+            eint_p = mass * u
+        else:
+            eint_p = np.zeros_like(mass)
+        cols = [atime, 0.0]
+        ei = ek = ep = 0.0
+        comp = []
+        for t in range(6):
+            sel = valid & (ptype == t)
+            eic = float(eint_p[sel].sum()) if t == 0 else 0.0
+            epc = float(epot_p[sel].sum())
+            ekc = float(ekin_p[sel].sum())
+            comp.append((eic, epc, ekc, float(mass[sel].sum())))
+            ei += eic
+            ep += epc
+            ek += ekc
+        cols[1] = 0.0  # mean gas temperature placeholder
+        row = [atime, cols[1], ei, ep, ek]
+        for t in range(6):
+            row += [comp[t][0], comp[t][1], comp[t][2]]
+        row += [comp[t][3] for t in range(6)]
+        os.makedirs(self.cfg.output_dir, exist_ok=True)
+        with open(os.path.join(self.cfg.output_dir, "energy.txt"),
+                  "a") as fh:
+            fh.write(" ".join(f"{x:g}" for x in row) + "\n")
+        return dict(EnergyInt=ei, EnergyPot=ep, EnergyKin=ek)
+
+    def run_gravity_test(self):
+        """Force-accuracy self-test (RestartFlag 99; runtests.c:50-97):
+        TreePM short-range vs direct pairwise summation."""
+        from .gravity.shortrange import direct_shortrange_pairwise
+        from .gravity.treepm import TreeGravity
+        self.compute_forces(measure_power=False)
+        tg = self._tree_grav
+        acc_tree = np.asarray(self.pdata.grav_accel)
+        rs_inv = 1.0 / (2 * self.cfg.asmth * self.cfg.boxsize
+                        / self.cfg.nmesh)
+        rcut = self.cfg.rcut * self.cfg.asmth * self.cfg.boxsize \
+            / self.cfg.nmesh
+        acc_pair, _ = direct_shortrange_pairwise(
+            self.pdata.ipos, self.pdata.mass, self.pdata.valid,
+            self.cfg.boxsize, jnp.float32(rs_inv), jnp.float32(rcut),
+            jnp.float32(1.0 / tg.softening))
+        acc_pair = np.asarray(acc_pair) * self.CP.GravInternal
+        valid = np.asarray(self.pdata.valid)
+        err = np.linalg.norm(acc_tree - acc_pair, axis=1)[valid]
+        ref = np.sqrt(np.mean(np.linalg.norm(acc_pair, axis=1)[valid]
+                              ** 2))
+        rel = err / (ref + 1e-30)
+        stats = {"mean_rel_err": float(rel.mean()),
+                 "max_rel_err": float(rel.max()),
+                 "p99_rel_err": float(np.percentile(rel, 99))}
+        print(f"Force accuracy: mean={stats['mean_rel_err']:.2e} "
+              f"p99={stats['p99_rel_err']:.2e} "
+              f"max={stats['max_rel_err']:.2e}")
+        return stats
 
     # -- output --------------------------------------------------------
 
