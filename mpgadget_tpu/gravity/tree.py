@@ -33,9 +33,9 @@ KEY_BITS = 3 * MORTON_BITS  # 63
 
 @dataclass(frozen=True)
 class TreeConfig:
-    leaf_max: int = 16       # make a leaf when count <= this
-    group_max: int = 64      # target-group size for the treewalk
-    max_level: int = 18      # deepest split level (<= MORTON_BITS)
+    leaf_max: int = 32       # make a leaf when count <= this
+    group_max: int = 128     # target-group size for the treewalk
+    max_level: int = 15      # deepest split level (<= MORTON_BITS)
     node_factor: float = 2.0  # node capacity = factor * N + 64
 
 
@@ -144,18 +144,9 @@ def build_tree(keys, ipos, mass, valid, leaf_max, max_level, capacity,
     nvalid = jnp.sum(valid.astype(jnp.int32))
 
     C = capacity
-    out = dict(
-        key_start=jnp.full(C, ~jnp.uint64(0)),
-        level=jnp.zeros(C, jnp.int32),
-        pstart=jnp.zeros(C, jnp.int32),
-        pcount=jnp.zeros(C, jnp.int32),
-        mass=jnp.zeros(C, jnp.float32),
-        com=jnp.zeros((C, 3), jnp.float32),
-        center=jnp.zeros((C, 3), jnp.float32),
-        length=jnp.zeros(C, jnp.float32),
-        is_leaf=jnp.zeros(C, bool),
-        is_group=jnp.zeros(C, bool),
-    )
+    key_start_g = jnp.full(C, ~jnp.uint64(0))
+    fdata = jnp.zeros((C, 8), jnp.float32)   # mass com3 center3 length
+    idata = jnp.zeros((C, 4), jnp.int32)     # level pstart pcount flags
     offset = jnp.int32(0)
     parent_internal = jnp.ones(n, bool)  # root is internal
     parent_small = jnp.zeros(n, bool)    # parent count <= group_max
@@ -192,19 +183,17 @@ def build_tree(keys, ipos, mass, valid, leaf_max, max_level, capacity,
         center = (cell + 0.5) * side
         com = jnp.where(nm[:, None] > 0, com, center)
 
-        out["key_start"] = out["key_start"].at[dest].set(
-            prefix << shift, mode="drop")
-        out["level"] = out["level"].at[dest].set(lev, mode="drop")
-        out["pstart"] = out["pstart"].at[dest].set(starts, mode="drop")
-        out["pcount"] = out["pcount"].at[dest].set(node_count, mode="drop")
-        out["mass"] = out["mass"].at[dest].set(nm, mode="drop")
-        out["com"] = out["com"].at[dest].set(com, mode="drop")
-        out["center"] = out["center"].at[dest].set(center, mode="drop")
-        out["length"] = out["length"].at[dest].set(side, mode="drop")
-        out["is_leaf"] = out["is_leaf"].at[dest].set(node_is_leaf,
-                                                     mode="drop")
-        out["is_group"] = out["is_group"].at[dest].set(
-            node_is_group & cand, mode="drop")
+        frow = jnp.concatenate(
+            [nm[:, None], com, center,
+             jnp.full((n, 1), side, jnp.float32)], axis=1)
+        irow = jnp.stack(
+            [jnp.full(n, lev, jnp.int32), starts, node_count,
+             node_is_leaf.astype(jnp.int32)
+             + 2 * (node_is_group & cand).astype(jnp.int32)], axis=1)
+        key_start_g = key_start_g.at[dest].set(prefix << shift,
+                                               mode="drop")
+        fdata = fdata.at[dest].set(frow, mode="drop")
+        idata = idata.at[dest].set(irow, mode="drop")
         offset = offset + jnp.sum(cand.astype(jnp.int32))
         # children exist only under internal nodes
         parent_internal = _broadcast_from_start(
@@ -218,9 +207,15 @@ def build_tree(keys, ipos, mass, valid, leaf_max, max_level, capacity,
 
     # DFS preorder: sort by (key_start, level); padding (key ~0) sinks
     ks, lv, perm = jax.lax.sort(
-        (out["key_start"], out["level"],
-         jnp.arange(C, dtype=jnp.int32)), num_keys=2)
-    out = {k: v[perm] for k, v in out.items()}
+        (key_start_g, idata[:, 0], jnp.arange(C, dtype=jnp.int32)),
+        num_keys=2)
+    fdata = fdata[perm]
+    idata = idata[perm]
+    out = dict(
+        key_start=ks, level=idata[:, 0], pstart=idata[:, 1],
+        pcount=idata[:, 2], mass=fdata[:, 0], com=fdata[:, 1:4],
+        center=fdata[:, 4:7], length=fdata[:, 7],
+        is_leaf=(idata[:, 3] & 1) > 0, is_group=(idata[:, 3] & 2) > 0)
 
     # skip pointer: first node with key_start >= my key_end
     span = (jnp.uint64(1)

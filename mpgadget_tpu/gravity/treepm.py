@@ -37,6 +37,10 @@ class TreeGravity:
 
     def __post_init__(self):
         self._use_bh_now = self.tree_use_bh > 0
+        if self.walk_cfg.leaf_eval_max < self.tree_cfg.leaf_max:
+            from dataclasses import replace as dc_replace
+            self.walk_cfg = dc_replace(
+                self.walk_cfg, leaf_eval_max=self.tree_cfg.leaf_max)
 
     # geometry in box units
     @property

@@ -37,7 +37,9 @@ class WalkConfig:
     leaf_cap_factor: int = 2    # leaf-group capacity = N // factor + 64
     node_list_max: int = 256
     leaf_list_max: int = 64
-    leaf_eval_max: int = 16     # max particles gathered per leaf entry
+    # max particles gathered per leaf entry; MUST be >= the tree's
+    # leaf_max or direct interactions are silently dropped
+    leaf_eval_max: int = 32
     group_batch: int = 1024     # leaf groups evaluated per map step
 
 
