@@ -88,13 +88,30 @@ def run_genic(paramfile_or_ps, override=None):
     ntot = np.zeros(6, np.uint64)
     species = []
 
+    # Glass pre-positions (genic/main.c:139-154): a baryon glass by
+    # default with species transfer functions (avoids lattice coupling
+    # between offset grids); coherent relaxation over all species.
+    glass_cdm = bool(ps["MakeGlassCDM"])
+    glass_gas = ps["MakeGlassGas"]
+    if glass_gas < 0:
+        glass_gas = 1 if (produce_gas
+                          and ppar.DifferentTransferFunctions) else 0
+    glass_gas = bool(glass_gas) and produce_gas
+    pre_cdm = pre_gas = None
+    if glass_cdm or glass_gas:
+        pre_cdm, pre_gas = _make_glass(
+            glass_cdm, glass_gas and produce_gas, ngrid, ngrid_gas,
+            nmesh, boxsize, ps["Seed"], shift_cdm,
+            shift_gas if produce_gas else 0.0,
+            mass_cdm, mass_gas if produce_gas else 0.0)
+
     ic = generate_ic_species(
         pspec, cp, seed=ps["Seed"], ngrid=ngrid, nmesh=nmesh,
         boxsize=boxsize, atime=atime, ptype=tcdm, shift=shift_cdm,
         unitary=bool(ps["UnitaryAmplitude"]),
         invert=bool(ps["InvertPhase"]),
         use_peculiar_velocity=use_pec,
-        scale_dep_velocity=ppar.ScaleDepVelocity)
+        scale_dep_velocity=ppar.ScaleDepVelocity, pre_pos=pre_cdm)
     species.append((1, ic, mass_cdm))
     if produce_gas:
         icg = generate_ic_species(
@@ -103,7 +120,7 @@ def run_genic(paramfile_or_ps, override=None):
             unitary=bool(ps["UnitaryAmplitude"]),
             invert=bool(ps["InvertPhase"]),
             use_peculiar_velocity=use_pec,
-            scale_dep_velocity=ppar.ScaleDepVelocity)
+            scale_dep_velocity=ppar.ScaleDepVelocity, pre_pos=pre_gas)
         # gas IDs offset so they are unique
         icg["pid"] = icg["pid"] + ngrid ** 3
         species.append((0, icg, mass_gas))
@@ -146,6 +163,33 @@ def run_genic(paramfile_or_ps, override=None):
     snap_io.write_header(bf, header)
     print(f"Wrote ICs to {path}: N = {ntot.tolist()}")
     return path
+
+
+def _make_glass(glass_cdm, glass_gas, ngrid, ngrid_gas, nmesh, boxsize,
+                seed, shift_cdm, shift_gas, mass_cdm, mass_gas):
+    """Build glass pre-positions for the flagged species; species not
+    flagged keep their regular lattice but still source the joint
+    relaxation force (genic/main.c:136-154)."""
+    from .glass import random_positions, glass_evolve
+    from .zeldovich import make_grid
+    n_cdm = ngrid ** 3
+    if glass_cdm:
+        pos_cdm = random_positions(ngrid, boxsize, seed * 31 + 7,
+                                   shift_cdm)
+    else:
+        pos_cdm, _ = make_grid(ngrid, boxsize, shift_cdm)
+    parts = [pos_cdm]
+    masses = [np.full(n_cdm, mass_cdm)]
+    if glass_gas:
+        parts.append(random_positions(ngrid_gas, boxsize,
+                                      (seed + 1) * 31 + 7, shift_gas))
+        masses.append(np.full(ngrid_gas ** 3, mass_gas))
+    allpos = glass_evolve(np.concatenate(parts),
+                          np.concatenate(masses), nmesh, boxsize)
+    # the coherent evolution moves *every* species (a lattice adjusts
+    # slightly to avoid the glass particles), so keep all positions
+    pre_gas = allpos[n_cdm:] if glass_gas else None
+    return allpos[:n_cdm], pre_gas
 
 
 def thermal_vel_disp_wdm(mwdm_kev, atime, cp, units):

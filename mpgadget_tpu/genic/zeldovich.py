@@ -66,10 +66,13 @@ def _kvecs(nmesh):
     return kx[:, None, None], kx[None, :, None], kz[None, None, :]
 
 
+@partial(jax.jit, static_argnames=("nmesh", "boxsize",
+                                   "scale_dep_velocity"))
 def displacement_fields(modes, delta_table, growth_table, nmesh, boxsize,
                         ipos, scale_dep_velocity=False):
     """Compute Zel'dovich displacements (and velocity factors) at
     particle positions by CIC readout of the three psi meshes.
+    Jitted: the TPU backend has no eager complex FFT.
 
     delta_table: (logk_internal, sqrtP_internal) arrays for jnp.interp —
     the device-side form of DeltaSpec.
@@ -77,22 +80,25 @@ def displacement_fields(modes, delta_table, growth_table, nmesh, boxsize,
     Returns (disp[N,3], vel_disp[N,3]) in internal length units; vel_disp
     must still be multiplied by the velocity prefactor.
     """
+    # all scalars as f32: x64 is enabled for host math, and a single
+    # np.float64 here would promote the meshes to f64/complex128,
+    # which the TPU backend cannot compile
     kx, ky, kz = _kvecs(nmesh)
     k2 = kx * kx + ky * ky + kz * kz
-    kmag = jnp.sqrt(k2) * (2 * np.pi / boxsize)
+    kmag = jnp.sqrt(k2) * jnp.float32(2 * np.pi / boxsize)
     logk = jnp.log(jnp.maximum(kmag, 1e-30))
     sqrtP = jnp.exp(jnp.interp(logk, delta_table[0], delta_table[1]))
     sqrtP = jnp.where(k2 == 0, 0.0, sqrtP)
     # delta_k for a field with V^-1 convention; irfftn normalization
     # absorbs N^3 (see pm/gravity.py derivation)
-    amp = sqrtP * (float(nmesh) ** 3 / boxsize ** 1.5)
-    delta_k = modes * amp
+    amp = sqrtP * jnp.float32(float(nmesh) ** 3 / boxsize ** 1.5)
+    delta_k = (modes * amp).astype(jnp.complex64)
 
     k2safe = jnp.where(k2 == 0, 1.0, k2)
     disp = []
     vel = []
     for ka in (kx, ky, kz):
-        fac = ka / k2safe * (boxsize / (2 * np.pi))
+        fac = ka / k2safe * jnp.float32(boxsize / (2 * np.pi))
         psi_k = delta_k * (1j * fac)
         psi = jnp.fft.irfftn(psi_k)
         disp.append(cic_readout(psi, ipos))
@@ -105,18 +111,19 @@ def displacement_fields(modes, delta_table, growth_table, nmesh, boxsize,
     return disp, vel
 
 
+@partial(jax.jit, static_argnames=("nmesh", "boxsize"))
 def density_field(modes, delta_table, nmesh, boxsize, ipos):
     """delta(x) at particle positions, smoothed by one mesh cell
     (density_transfer, zeldovich.c:283-296)."""
     kx, ky, kz = _kvecs(nmesh)
     k2 = kx * kx + ky * ky + kz * kz
-    kmag = jnp.sqrt(k2) * (2 * np.pi / boxsize)
+    kmag = jnp.sqrt(k2) * jnp.float32(2 * np.pi / boxsize)
     logk = jnp.log(jnp.maximum(kmag, 1e-30))
     sqrtP = jnp.exp(jnp.interp(logk, delta_table[0], delta_table[1]))
     sqrtP = jnp.where(k2 == 0, 0.0, sqrtP)
-    smooth = jnp.exp(-k2 * (1.0 / nmesh) ** 2)
-    amp = sqrtP * smooth * (float(nmesh) ** 3 / boxsize ** 1.5)
-    delta = jnp.fft.irfftn(modes * amp)
+    smooth = jnp.exp(-k2 * jnp.float32(1.0 / nmesh) ** 2)
+    amp = sqrtP * smooth * jnp.float32(float(nmesh) ** 3 / boxsize ** 1.5)
+    delta = jnp.fft.irfftn((modes * amp).astype(jnp.complex64))
     return cic_readout(delta, ipos)
 
 
@@ -136,10 +143,17 @@ def generate_ic_species(pspec, cosmology, seed, ngrid, nmesh, boxsize,
                         atime, ptype=DELTA_TOT, shift=0.0,
                         unitary=True, invert=False,
                         use_peculiar_velocity=True,
-                        scale_dep_velocity=False):
+                        scale_dep_velocity=False,
+                        pre_pos=None):
     """Full Zel'dovich IC for one species.  Returns dict of host arrays:
-    pos (displaced, internal units), vel (internal a^2 xdot), pid."""
+    pos (displaced, internal units), vel (internal a^2 xdot), pid.
+
+    pre_pos: optional pre-displacement positions (e.g. a relaxed glass
+    from genic.glass) replacing the regular lattice; IDs stay the
+    lattice IDs (genic/main.c:139-154 keeps idgen ordering)."""
     grid_pos, pid = make_grid(ngrid, boxsize, shift)
+    if pre_pos is not None:
+        grid_pos = np.asarray(pre_pos, np.float64)
     ipos = jnp.asarray(pos_to_fixed(grid_pos, boxsize))
     modes = gaussian_modes(seed, nmesh, unitary, invert)
     dtab = delta_table_from_powerspec(pspec, boxsize, nmesh, ptype)

@@ -142,3 +142,68 @@ def test_gaussian_modes_deterministic():
     mu = np.asarray(gaussian_modes(42, 16, unitary=True))
     amps = np.abs(mu)
     assert np.all(np.abs(amps[amps > 1e-6] - 1) < 1e-5)
+
+
+def test_glass_suppresses_shot_noise():
+    """Glass relaxation (genic.glass) must drive small-scale power well
+    below the white-noise (Poisson) level of the initial random cloud,
+    without leaving lattice order (no single dominant mode)."""
+    from mpgadget_tpu.genic.glass import random_positions, glass_evolve
+    from mpgadget_tpu.pm.gravity import measure_power, PMConfig
+
+    ngrid, nmesh, box = 16, 32, 1000.0
+    pos0 = random_positions(ngrid, box, seed=5)
+    mass = np.ones(ngrid ** 3)
+    pos = glass_evolve(pos0, mass, nmesh, box, nsteps=14)
+    assert pos.shape == pos0.shape
+    assert np.all((pos >= 0) & (pos < box))
+
+    cfg = PMConfig(nmesh=nmesh, boxsize=box)
+    w = jnp.asarray(mass, jnp.float32)
+    p_before = measure_power(jnp.asarray(pos_to_fixed(pos0, box)), w, cfg)
+    p_after = measure_power(jnp.asarray(pos_to_fixed(pos, box)), w, cfg)
+    # compare total power in the resolved range (k below the particle
+    # nyquist, where CIC deconvolution is trustworthy); measure_power
+    # reports k in h/Mpc while box is internal kpc/h
+    knyq = np.pi * ngrid / (box / 1000.0)
+    sel = (p_before.k > 0) & (p_before.k < 0.6 * knyq) \
+        & (p_after.nmodes > 0)
+    before = np.sum(p_before.power[sel] * p_before.nmodes[sel])
+    after = np.sum(p_after.power[sel] * p_after.nmodes[sel])
+    assert after < 0.01 * before, (before, after)
+
+
+def test_glass_wired_into_genic(tmp_path, cosmo):
+    """MakeGlassCDM=1 must produce valid ICs whose positions are not on
+    the lattice."""
+    from mpgadget_tpu.params import create_genic_parameter_set
+    from mpgadget_tpu.genic.main import run_genic
+    from mpgadget_tpu.io.bigfile import BigFile
+
+    table = tmp_path / "pk.txt"
+    write_powerlaw_table(str(table))
+    ps = create_genic_parameter_set()
+    ps.set("OutputDir", str(tmp_path / "ics"))
+    ps.set("FileBase", "IC")
+    ps.set("BoxSize", 20000.0)
+    ps.set("Ngrid", 8)
+    ps.set("Nmesh", 16)
+    ps.set("Redshift", 9.0)
+    ps.set("Omega0", 0.3)
+    ps.set("OmegaLambda", 0.7)
+    ps.set("OmegaBaryon", 0.0)
+    ps.set("HubbleParam", 0.7)
+    ps.set("ProduceGas", 0)
+    ps.set("MakeGlassCDM", 1)
+    ps.set("WhichSpectrum", 2)
+    ps.set("FileWithInputSpectrum", str(table))
+    ps.set("InputPowerRedshift", 9.0)
+    ps.set("Seed", 42)
+    path = run_genic(ps)
+    bf = BigFile(path)
+    pos = bf.open("1/Position").read()
+    assert pos.shape == (512, 3)
+    # lattice spacing is 2500; glass positions must be off-lattice
+    frac = np.mod(pos / 2500.0, 1.0)
+    offlattice = np.minimum(frac, 1 - frac)
+    assert np.mean(offlattice) > 0.02
