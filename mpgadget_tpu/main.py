@@ -124,6 +124,7 @@ def build_simulation(paramfile_or_ps, override=None, snapshot=None):
         output_energy_debug=bool(ps["OutputEnergyDebug"]),
         snapshot_with_fof=bool(ps["SnapshotWithFOF"]),
         fof_file_base=ps["FOFFileBase"],
+        fof_save_particles=bool(ps["FOFSaveParticles"]),
         fof_linking_length=ps["FOFHaloLinkingLength"],
         fof_min_group_length=ps["FOFHaloMinLength"],
         fof_primary_link_types=ps["FOFPrimaryLinkTypes"],

@@ -112,6 +112,96 @@ def fof_label(ipos, valid_primary, boxsize, linking_length,
     return out[inv], perm, inv
 
 
+def fof_secondary(ipos, is_secondary, is_primary, labels_primary,
+                  boxsize, linking_length, cfg: FOFParams = None,
+                  max_expand=6):
+    """Attach each secondary particle (star/BH/gas per
+    secondary_link_types) to the group of its nearest primary
+    (fof_secondary, fof.c:1175-1260).
+
+    The reference expands each secondary's search radius until a
+    primary is found; here the radius starts at the linking length and
+    doubles up to max_expand times (a secondary farther than
+    2^6 linking lengths from every primary is deep in the field, where
+    its nearest primary is ungrouped anyway).  Returns int32[N] labels
+    in input order (-1 where unattached / not secondary).
+    """
+    cfg = cfg or FOFParams()
+    n = ipos.shape[0]
+    include = is_secondary | is_primary
+    keys = morton_key(ipos)
+    keys = jnp.where(include, keys, ~jnp.uint64(0))
+    perm = jnp.argsort(keys)
+    inv = jnp.argsort(perm)
+    ipos_s = ipos[perm]
+    pos_box = ipos_s.astype(jnp.float32) * jnp.float32(2.0 ** -32)
+    sec_s = is_secondary[perm]
+    prim_s = is_primary[perm]
+    lab_s = labels_primary[perm]
+
+    cap = 2 * n + 64
+    tree = build_tree(keys[perm], ipos_s, jnp.ones(n, jnp.float32),
+                      include[perm], 16, 18, cap,
+                      group_max=cfg.group_max)
+    group_cap = min((8 * n) // cfg.group_max + 64, n + 64)
+    leaf_nodes, gc, gh, _, _, _ = make_target_groups(
+        tree, pos_box, jnp.full(n, jnp.inf, jnp.float32), group_cap,
+        cfg.group_max)
+
+    ll_box = jnp.float32(linking_length / boxsize)
+    # features: primary labels (inf for non-primaries so min skips them)
+    src_lab = jnp.where(prim_s, lab_s.astype(jnp.float32), jnp.inf)
+
+    rmin = jnp.full(n, jnp.inf, jnp.float32)    # sorted order
+    attach = jnp.full(n, -1, jnp.int32)
+    radius = ll_box
+    for _ in range(max_expand):
+        need = sec_s & ~jnp.isfinite(rmin)
+        if not bool(jnp.any(need)):
+            break
+        gradius = jnp.full(gc.shape[0], radius, jnp.float32)
+        ll = cfg.leaf_list_max
+        nbr = None
+        for _ in range(4):
+            nbr = pairs.find_neighbors(tree, leaf_nodes, gc, gh,
+                                       gradius, None, ll,
+                                       symmetric=False)
+            if not bool(jnp.any(nbr.overflow)):
+                break
+            ll *= 2
+        rad = radius
+
+        def pair_fn_r(dx, r, tmask, smask, tfeat, sfeat, rad=rad):
+            # nearest primary distance (exclude self-pairs at r=0 of
+            # primaries; secondaries are never primaries here)
+            ok = (r < rad) & (sfeat["lab"] < jnp.inf)
+            return {"negr": jnp.where(ok, -r, -jnp.inf)}
+
+        out = pairs.pair_reduce(
+            pair_fn_r, nbr, tree, pos_box, {}, {"lab": src_lab},
+            {"negr": "max"}, cfg.group_max, cfg.leaf_eval_max)
+        rmin_new = -out["negr"]
+        found = sec_s & jnp.isfinite(rmin_new) & ~jnp.isfinite(rmin)
+        rmin = jnp.where(found, rmin_new, rmin)
+
+        rtol = rmin * jnp.float32(1.0 + 1e-5) + jnp.float32(1e-12)
+
+        def pair_fn_l(dx, r, tmask, smask, tfeat, sfeat):
+            ok = (r <= tfeat["rtol"]) & (sfeat["lab"] < jnp.inf)
+            return {"minlab": jnp.where(ok, -sfeat["lab"], -jnp.inf)}
+
+        out2 = pairs.pair_reduce(
+            pair_fn_l, nbr, tree, pos_box, {"rtol": rtol},
+            {"lab": src_lab}, {"minlab": "max"},
+            cfg.group_max, cfg.leaf_eval_max)
+        lab_new = -out2["minlab"]
+        good = found & jnp.isfinite(lab_new)
+        attach = jnp.where(good, lab_new.astype(jnp.int32), attach)
+        radius = radius * 2
+
+    return attach[inv]
+
+
 def fof_catalog(ipos, vel, mass, ptype, valid, boxsize, mean_sep,
                 cfg: FOFParams = None, sfr=None):
     """Full FOF: label, filter by minimum length, compile group table.
@@ -126,6 +216,13 @@ def fof_catalog(ipos, vel, mass, ptype, valid, boxsize, mean_sep,
     primary = valid & (((1 << ptype.astype(jnp.int32))
                         & cfg.primary_link_types) > 0)
     labels, perm, inv = fof_label(ipos, primary, boxsize, ll, cfg)
+
+    secondary = valid & ~primary & (((1 << ptype.astype(jnp.int32))
+                                     & cfg.secondary_link_types) > 0)
+    if bool(jnp.any(secondary)):
+        sec_lab = fof_secondary(ipos, secondary, primary, labels,
+                                boxsize, ll, cfg)
+        labels = jnp.where(secondary, sec_lab, labels)
 
     # host-side catalog compilation (runs once per output)
     lab = np.asarray(labels)
@@ -187,11 +284,12 @@ def fof_catalog(ipos, vel, mass, ptype, valid, boxsize, mean_sep,
             np.add.at(sfr_tot, g, s[sel])
     # sort by descending mass (reference sorts catalog)
     order = np.argsort(-masses, kind="stable")
-    remap = np.full(ngroups, -1, np.int64)
-    remap[order] = np.arange(ngroups)
-    grp_of_particle = np.where(grp_of_particle >= 0,
-                               remap[np.clip(grp_of_particle, 0, None)],
-                               -1)
+    if ngroups:
+        remap = np.full(ngroups, -1, np.int64)
+        remap[order] = np.arange(ngroups)
+        grp_of_particle = np.where(
+            grp_of_particle >= 0,
+            remap[np.clip(grp_of_particle, 0, None)], -1)
     return {
         "ngroups": ngroups,
         "lengths": lengths[order],

@@ -115,6 +115,7 @@ class SimConfig:
     # FOF
     snapshot_with_fof: bool = False
     fof_file_base: str = "PIG"
+    fof_save_particles: bool = True
     fof_linking_length: float = 0.2
     fof_min_group_length: int = 32
     fof_primary_link_types: int = 2
@@ -935,8 +936,9 @@ class Simulation:
         bf = BigFile(path, create=True)
         ng = cat["ngroups"]
         atime = self.atime
+        # GrNr counts from 1 (fof.c:1127-1133)
         bf.create_from_array("FOFGroups/GroupID",
-                             np.arange(ng, dtype="<u4"))
+                             np.arange(1, ng + 1, dtype="<u4"))
         bf.create_from_array("FOFGroups/Mass",
                              cat["masses"].astype("<f4"))
         bf.create_from_array("FOFGroups/MassCenterPosition",
@@ -949,8 +951,46 @@ class Simulation:
                              cat["mass_by_type"].astype("<f4"))
         bf.create_from_array("FOFGroups/StarFormationRate",
                              cat["sfr"].astype("<f4"))
+        ntot = np.zeros(6, np.uint64)
+        if self.cfg.fof_save_particles and ng > 0:
+            # particles grouped by halo (fofpetaio.c fof_save_particles:
+            # select GrNr > 0, sort by GrNr, write the usual blocks +
+            # per-particle GroupID)
+            gi = np.asarray(cat["group_index"])
+            valid = np.asarray(self.pdata.valid)
+            insel = valid & (gi >= 0)
+            order = np.nonzero(insel)[0][np.argsort(gi[insel],
+                                                    kind="stable")]
+            ptype = np.asarray(self.pdata.ptype)[order]
+            pos = fixed_to_pos(np.asarray(self.pdata.ipos),
+                               self.cfg.boxsize)[order]
+            vel = np.asarray(self.pdata.vel)[order]
+            mass = np.asarray(self.pdata.mass)[order]
+            pid = np.asarray(self.pdata.pid)[order]
+            gid = (gi[order] + 1).astype("<u4")
+            for t in range(6):
+                tsel = ptype == t
+                ntot[t] = tsel.sum()
+                if ntot[t] == 0:
+                    continue
+                full = np.zeros(len(valid), bool)
+                full[order[tsel]] = True
+                extra = self._species_extra_blocks(t, full, atime)
+                # _species_extra_blocks selects in array order; remap
+                # to group order within the type
+                rank = {i_: j_ for j_, i_ in
+                        enumerate(np.nonzero(full)[0])}
+                rord = np.array([rank[i_] for i_ in order[tsel]],
+                                np.int64)
+                extra = {k: v[rord] for k, v in extra.items()}
+                extra["GroupID"] = gid[tsel]
+                snap_io.write_species(
+                    bf, t, pos=pos[tsel], vel=vel[tsel], pid=pid[tsel],
+                    mass=mass[tsel], atime=atime, use_peculiar=True,
+                    extra=extra)
         hdr = bf.create("Header")
         hdr.attrs["NumFOFGroupsTotal"] = np.asarray([ng], "<u8")
+        hdr.attrs["NumPartInGroupTotal"] = ntot.astype("<u8")
         hdr.attrs["Time"] = float(atime)
         hdr.attrs["BoxSize"] = float(self.cfg.boxsize)
         hdr.attrs["Omega0"] = float(self.CP.Omega0)
@@ -1036,6 +1076,31 @@ class Simulation:
 
     # -- output --------------------------------------------------------
 
+    def _species_extra_blocks(self, t, sel, atime):
+        """Type-specific blocks for a boolean selection sel
+        (petaio.c:992-1078 registry subset)."""
+        from .utils.constants import GAMMA_MINUS1
+        extra = {}
+        if t == 0 and self.sph is not None:
+            a3inv = 1.0 / atime ** 3
+            ent = np.asarray(self.sph.entropy)[sel]
+            rho = np.asarray(self.sph.density)[sel]
+            u = ent / GAMMA_MINUS1 * np.maximum(
+                rho * a3inv, 1e-30) ** GAMMA_MINUS1
+            extra["SmoothingLength"] = np.asarray(
+                self.pdata.hsml)[sel].astype("<f4")
+            extra["Density"] = rho.astype("<f4")
+            extra["InternalEnergy"] = u.astype("<f4")
+            extra["EgyWtDensity"] = np.asarray(
+                self.sph.egy_wt_density)[sel].astype("<f4")
+            extra["ElectronAbundance"] = np.asarray(
+                self.sph.ne)[sel].astype("<f4")
+            extra["StarFormationRate"] = np.asarray(
+                self.sph.sfr)[sel].astype("<f4")
+            extra["Metallicity"] = np.asarray(
+                self.sph.metallicity)[sel].astype("<f4")
+        return extra
+
     def write_snapshot(self, label: Optional[int] = None):
         """write_checkpoint analog: snapshot == checkpoint."""
         if label is None:
@@ -1060,26 +1125,8 @@ class Simulation:
             ntot[t] = sel.sum()
             if ntot[t] == 0:
                 continue
-            extra = {"Potential": pot[sel].astype("<f4")}
-            if t == 0 and self.sph is not None:
-                # gas blocks (petaio.c:992-1078 registry subset)
-                a3inv = 1.0 / atime ** 3
-                ent = np.asarray(self.sph.entropy)[sel]
-                rho = np.asarray(self.sph.density)[sel]
-                u = ent / GAMMA_MINUS1 * np.maximum(
-                    rho * a3inv, 1e-30) ** GAMMA_MINUS1
-                extra["SmoothingLength"] = np.asarray(
-                    self.pdata.hsml)[sel].astype("<f4")
-                extra["Density"] = rho.astype("<f4")
-                extra["InternalEnergy"] = u.astype("<f4")
-                extra["EgyWtDensity"] = np.asarray(
-                    self.sph.egy_wt_density)[sel].astype("<f4")
-                extra["ElectronAbundance"] = np.asarray(
-                    self.sph.ne)[sel].astype("<f4")
-                extra["StarFormationRate"] = np.asarray(
-                    self.sph.sfr)[sel].astype("<f4")
-                extra["Metallicity"] = np.asarray(
-                    self.sph.metallicity)[sel].astype("<f4")
+            extra = self._species_extra_blocks(t, sel, atime)
+            extra["Potential"] = pot[sel].astype("<f4")
             snap_io.write_species(
                 bf, t, pos=pos[sel], vel=vel[sel], pid=pid[sel],
                 mass=mass[sel], atime=atime, use_peculiar=True,
