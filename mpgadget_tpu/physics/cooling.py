@@ -262,15 +262,71 @@ def make_rates(par: CoolingParams):
                 freefree=freefree)
 
 
+class MetalCoolingTable:
+    """Cloudy net metal cooling at solar metallicity on a uniform
+    (redshift, log10 nH, log10 T) grid (InitMetalCooling /
+    TableMetalCoolingRate, cooling_uvfluc.c:266-323).
+
+    Multilinear interpolation with edge clamping, vectorized over
+    particles.  Table values are erg cm^3/s per proton at 1 Zsun.
+    """
+
+    def __init__(self, zbins, lognh_bins, logt_bins, table):
+        self.mins = jnp.asarray(
+            [zbins[0], lognh_bins[0], logt_bins[0]], jnp.float32)
+        self.maxs = jnp.asarray(
+            [zbins[-1], lognh_bins[-1], logt_bins[-1]], jnp.float32)
+        self.dims = (len(zbins), len(lognh_bins), len(logt_bins))
+        self.table = jnp.asarray(
+            np.asarray(table).reshape(self.dims), jnp.float32)
+
+    @classmethod
+    def from_file(cls, path):
+        """Read the reference's bigfile layout (read_big_array)."""
+        from ..io.bigfile import BigFile
+        bf = BigFile(path)
+        met = bf.open("MetallicityInSolar_bins").read()
+        if len(met) != 1 or met[0] != 0.0:
+            raise ValueError(f"MetalCool file {path} wrongly tabulated")
+        return cls(bf.open("Redshift_bins").read(),
+                   bf.open("HydrogenNumberDensity_bins").read(),
+                   bf.open("Temperature_bins").read(),
+                   bf.open("NetCoolingRate").read())
+
+    def __call__(self, redshift, nh, temp):
+        x = jnp.stack(jnp.broadcast_arrays(
+            jnp.asarray(redshift, jnp.float32),
+            jnp.log10(jnp.maximum(nh, 1e-30)).astype(jnp.float32),
+            jnp.log10(jnp.maximum(temp, 1.0)).astype(jnp.float32)),
+            axis=-1)
+        dims = jnp.asarray(self.dims, jnp.float32)
+        step = (self.maxs - self.mins) / (dims - 1)
+        f = jnp.clip((x - self.mins) / step, 0.0, dims - 1)
+        i0 = jnp.clip(f.astype(jnp.int32),
+                      0, jnp.asarray(self.dims, jnp.int32) - 2)
+        w = f - i0
+        out = jnp.zeros(x.shape[:-1], jnp.float32)
+        for corner in range(8):
+            bits = jnp.asarray([(corner >> 2) & 1, (corner >> 1) & 1,
+                                corner & 1], jnp.int32)
+            idx = i0 + bits
+            wt = jnp.prod(jnp.where(bits > 0, w, 1.0 - w), axis=-1)
+            out = out + wt * self.table[idx[..., 0], idx[..., 1],
+                                        idx[..., 2]]
+        return out
+
+
 class CoolingRates:
     """Vectorized network: all inputs/outputs are jnp arrays (per
     particle).  density in protons/cm^3, ienergy in erg/g."""
 
-    def __init__(self, params: CoolingParams, treecool: TreeCool):
+    def __init__(self, params: CoolingParams, treecool: TreeCool,
+                 metal_table=None):
         self.par = params
         self.treecool = treecool
         self.rates = make_rates(params)
         self.helium = 1 - C.HYDROGEN_MASSFRAC
+        self.metal_table = metal_table
 
     def get_temp_internal(self, nebynh, ienergy, helium):
         hy_mass = 1 - helium
@@ -393,6 +449,11 @@ class CoolingRates:
             Heat = Heat * self.par.HeliumHeatAmp \
                 * overden ** self.par.HeliumHeatExp
         LambdaNet = Heat - Lambda
+        if self.metal_table is not None:
+            # cloudy net metal cooling at 1 Zsun, scaled linearly by the
+            # particle metallicity (cooling_rates.c:1300-1303)
+            LambdaNet = LambdaNet - metallicity * self.metal_table(
+                redshift, nh, temp)
         return (LambdaNet * (1 - helium) ** 2 * density / C.PROTONMASS,
                 nebynh)
 

@@ -129,3 +129,58 @@ def test_do_cooling_relaxation(cr):
     # equilibrium temperature is ~1e4 K for this UVB
     T_eq = float(cr.get_temp(rho / C.PROTONMASS, u, uv, ne)[0])
     assert 5e3 < T_eq < 5e4, T_eq
+
+
+def test_metal_cooling_table(tmp_path):
+    """MetalCoolingTable: trilinear interpolation matches scipy on a
+    synthetic table; metal cooling lowers LambdaNet proportionally to Z
+    (TableMetalCoolingRate, cooling_uvfluc.c:309-323)."""
+    from mpgadget_tpu.physics.cooling import (MetalCoolingTable,
+                                              CoolingRates,
+                                              CoolingParams, TreeCool,
+                                              UVBG)
+    from mpgadget_tpu.io.bigfile import BigFile
+    from scipy.interpolate import RegularGridInterpolator
+
+    z = np.linspace(0.0, 10.0, 6)
+    lognh = np.linspace(-6.0, 3.0, 10)
+    logt = np.linspace(2.0, 9.0, 15)
+    zz, nn, tt = np.meshgrid(z, lognh, logt, indexing="ij")
+    tab = 1e-23 * (1 + zz) * np.exp(-(nn + 2) ** 2) \
+        * np.exp(-(tt - 5) ** 2)
+    path = str(tmp_path / "metalcool")
+    bf = BigFile(path, create=True)
+    bf.create_from_array("MetallicityInSolar_bins", np.array([0.0]))
+    bf.create_from_array("Redshift_bins", z)
+    bf.create_from_array("HydrogenNumberDensity_bins", lognh)
+    bf.create_from_array("Temperature_bins", logt)
+    bf.create_from_array("NetCoolingRate", tab.ravel())
+
+    mt = MetalCoolingTable.from_file(path)
+    rgi = RegularGridInterpolator((z, lognh, logt), tab)
+    rng = np.random.RandomState(3)
+    zq = rng.uniform(0, 10, 64)
+    nhq = 10 ** rng.uniform(-6, 3, 64)
+    tq = 10 ** rng.uniform(2, 9, 64)
+    got = np.asarray(mt(jnp.asarray(zq), jnp.asarray(nhq),
+                        jnp.asarray(tq)))
+    want = rgi(np.stack([zq, np.log10(nhq), np.log10(tq)], -1))
+    assert np.allclose(got, want, rtol=2e-5, atol=1e-32)
+    # clamped outside the grid
+    edge = float(mt(0.0, 1e-30, 1e2))
+    assert np.isfinite(edge)
+
+    # LambdaNet decreases linearly with Z
+    cr = CoolingRates(CoolingParams(), TreeCool(None, CoolingParams()),
+                      metal_table=mt)
+    uvbg = UVBG(0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    rho = jnp.full(3, 0.01, jnp.float32)   # protons/cm^3
+    u = jnp.full(3, 3e12, jnp.float32)     # ~1e5 K
+    zmet = jnp.asarray([0.0, 0.01, 0.02], jnp.float32)
+    lam, _ = cr.get_heatingcooling_rate(rho, u, 1.0, zmet, uvbg,
+                                        jnp.ones(3, jnp.float32))
+    lam = np.asarray(lam)
+    d1 = lam[0] - lam[1]
+    d2 = lam[1] - lam[2]
+    assert d1 > 0, "metal cooling must reduce LambdaNet"
+    assert np.isclose(d1, d2, rtol=1e-3), "linear in Z"
