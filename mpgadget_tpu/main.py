@@ -75,6 +75,7 @@ def build_simulation(paramfile_or_ps, override=None, snapshot=None):
         min_gas_hsml_fractional=ps["MinGasHsmlFractional"],
         cooling_on=bool(ps["CoolingOn"]),
         treecool_file=ps["TreeCoolFile"],
+        metal_cool_file=ps["MetalCoolFile"],
         cooling_rates=ps["CoolingRates"],
         recomb_rates=ps["RecombRates"],
         self_shielding_on=bool(ps["SelfShieldingOn"]),
@@ -119,6 +120,18 @@ def build_simulation(paramfile_or_ps, override=None, snapshot=None):
         min_fof_mass_for_seed=ps["MinFoFMassForNewSeed"],
         min_mstar_for_seed=ps["MinMStarForNewSeed"],
         time_between_seeding=ps["TimeBetweenSeedingSearch"],
+        bh_kinetic_on=bool(ps["BlackHoleKineticOn"]),
+        bh_merge_grav_bound=bool(ps["MergeGravBound"]),
+        bh_dynfric_method=ps["BH_DynFrictionMethod"],
+        bh_df_boost=float(ps["BH_DFBoostFactor"]),
+        bh_df_bmax=ps["BH_DFbmax"],
+        bhke_eddington_thr_factor=ps["BHKE_EddingtonThrFactor"],
+        bhke_eddington_m_factor=ps["BHKE_EddingtonMFactor"],
+        bhke_eddington_m_pivot=ps["BHKE_EddingtonMPivot"],
+        bhke_eddington_m_index=ps["BHKE_EddingtonMIndex"],
+        bhke_eff_rho_factor=ps["BHKE_EffRhoFactor"],
+        bhke_eff_cap=ps["BHKE_EffCap"],
+        bhke_inj_energy_thr=ps["BHKE_InjEnergyThr"],
         time_limit_cpu=ps["TimeLimitCPU"],
         auto_snapshot_time=ps["AutoSnapshotTime"],
         output_energy_debug=bool(ps["OutputEnergyDebug"]),

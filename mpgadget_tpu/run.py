@@ -61,6 +61,7 @@ class SimConfig:
     # cooling
     cooling_on: bool = False
     treecool_file: str = ""
+    metal_cool_file: str = ""
     cooling_rates: int = 2        # Sherwood
     recomb_rates: int = 1         # Verner96
     self_shielding_on: bool = True
@@ -108,6 +109,18 @@ class SimConfig:
     min_fof_mass_for_seed: float = 2.0
     min_mstar_for_seed: float = 5e-4
     time_between_seeding: float = 1.04
+    bh_kinetic_on: bool = False
+    bh_merge_grav_bound: bool = True
+    bh_dynfric_method: int = 0
+    bh_df_boost: float = 1.0
+    bh_df_bmax: float = 20.0
+    bhke_eddington_thr_factor: float = 0.05
+    bhke_eddington_m_factor: float = 0.002
+    bhke_eddington_m_pivot: float = 0.05
+    bhke_eddington_m_index: float = 2.0
+    bhke_eff_rho_factor: float = 0.05
+    bhke_eff_cap: float = 0.05
+    bhke_inj_energy_thr: float = 5.0
     # control
     time_limit_cpu: float = 0.0
     auto_snapshot_time: float = 0.0
@@ -206,6 +219,14 @@ class Simulation:
                 "density": bf.open("0/Density").read(),
                 "hsml": bf.open("0/SmoothingLength").read(),
             }
+            # optional state blocks (petaio reads every registered
+            # block present; ne/Z matter for cooling on resume)
+            for name, key in (("ElectronAbundance", "ne"),
+                              ("Metallicity", "metallicity"),
+                              ("StarFormationRate", "sfr"),
+                              ("EgyWtDensity", "egy_wt_density")):
+                if "0/" + name in bf:
+                    sim._gas_restore[key] = bf.open("0/" + name).read()
         else:
             sim._gas_restore = None
         return sim
@@ -416,8 +437,17 @@ class Simulation:
         u = expand(r["u"])
         entropy = C.GAMMA_MINUS1 * u / jnp.maximum(
             rho / a3, 1e-30) ** C.GAMMA_MINUS1
-        self.sph = SphData.zeros(n).replace(
-            entropy=entropy, density=rho, egy_wt_density=rho)
+        sph = SphData.zeros(n).replace(
+            entropy=entropy, density=rho,
+            egy_wt_density=(expand(r["egy_wt_density"])
+                            if "egy_wt_density" in r else rho))
+        if "ne" in r:
+            sph = sph.replace(ne=expand(r["ne"]))
+        if "metallicity" in r:
+            sph = sph.replace(metallicity=expand(r["metallicity"]))
+        if "sfr" in r:
+            sph = sph.replace(sfr=expand(r["sfr"]))
+        self.sph = sph
         self.pdata = self.pdata.replace(hsml=expand(r["hsml"]))
         uu = self.cfg.units.UnitInternalEnergy_in_cgs
         self._min_egy_spec = (C.BOLTZMANN / C.PROTONMASS
@@ -497,7 +527,11 @@ class Simulation:
             HeliumHeatExp=self.cfg.helium_heat_exp,
         )
         tc = TreeCool(self.cfg.treecool_file or None, par)
-        self._cooling = CoolingRates(par, tc)
+        mtab = None
+        if self.cfg.metal_cool_file:
+            from .physics.cooling import MetalCoolingTable
+            mtab = MetalCoolingTable.from_file(self.cfg.metal_cool_file)
+        self._cooling = CoolingRates(par, tc, metal_table=mtab)
         self._treecool = tc
         units = self.cfg.units
         h = self.CP.HubbleParam
@@ -817,7 +851,20 @@ class Simulation:
             seed_mass=self.cfg.bh_seed_mass,
             ngb_factor=self.cfg.bh_ngb_factor,
             min_fof_mass_for_seed=self.cfg.min_fof_mass_for_seed,
-            min_mstar_for_seed=self.cfg.min_mstar_for_seed)
+            min_mstar_for_seed=self.cfg.min_mstar_for_seed,
+            kinetic_on=self.cfg.bh_kinetic_on,
+            merge_grav_bound=self.cfg.bh_merge_grav_bound,
+            dynfric_method=self.cfg.bh_dynfric_method,
+            df_boost=self.cfg.bh_df_boost,
+            df_bmax=self.cfg.bh_df_bmax,
+            ke_eddington_thr_factor=self.cfg.bhke_eddington_thr_factor,
+            ke_eddington_m_factor=self.cfg.bhke_eddington_m_factor,
+            ke_eddington_m_pivot=self.cfg.bhke_eddington_m_pivot,
+            ke_eddington_m_index=self.cfg.bhke_eddington_m_index,
+            ke_eff_rho_factor=self.cfg.bhke_eff_rho_factor,
+            ke_eff_cap=self.cfg.bhke_eff_cap,
+            ke_inj_energy_thr=self.cfg.bhke_inj_energy_thr,
+            ke_sfr_crit_overdensity=self.cfg.crit_overdensity)
 
     def apply_blackholes(self, dloga):
         """BH accretion + swallowing + thermal feedback (blackhole(),
@@ -835,6 +882,38 @@ class Simulation:
         hubble = self.CP.hubble_function(atime)
         dtime = dloga / hubble
         self.walltime.start("BH")
+        # dynamical friction environment (bhdynfric.c): optional
+        if par.dynfric_method > 0:
+            ptype = self.pdata.ptype
+            src = self.pdata.valid & (ptype == 4)
+            if par.dynfric_method > 1:
+                src = src | (self.pdata.valid & (ptype == 1))
+            if par.dynfric_method > 2:
+                src = src | gas
+            dfs = bhmod.bh_dynfric_sums(
+                self.pdata.ipos, self.pdata.mass, self.pdata.hsml,
+                self.pdata.vel, is_bh, src, self.cfg.boxsize,
+                kernel_type=self.cfg.density_kernel_type)
+            df_acc = bhmod.dynfric_accel(
+                dfs["rho"], dfs["vel"], dfs["rmsvel"],
+                self.pdata.mass, self.pdata.vel, atime,
+                self.CP.GravInternal, bmax=par.df_bmax,
+                boost=par.df_boost)
+            df_acc = jnp.where(is_bh[:, None], df_acc, 0.0)
+            self.bh = self.bh.replace(df_accel=df_acc)
+        if par.kinetic_on:
+            # 1D DM velocity dispersion around BHs (veldisp.c:60-76);
+            # fixed search radius = mean BH hsml (the reference uses
+            # each BH's Hsml; the dispersion varies slowly with radius)
+            from .physics.winds import dm_velocity_dispersion
+            hbh = np.asarray(self.pdata.hsml)[np.asarray(is_bh)]
+            rad = float(hbh.mean()) if len(hbh) else 0.0
+            vd = dm_velocity_dispersion(
+                self.pdata.ipos, self.pdata.vel, self.pdata.mass,
+                self.pdata.valid & (self.pdata.ptype == 1), is_bh,
+                self.cfg.boxsize, rad, nsearch_radius=1.0)
+            self.bh = self.bh.replace(
+                vdisp=jnp.where(is_bh, vd, 0.0))
         sums = bhmod.bh_neighbor_sums(
             self.pdata.ipos, self.pdata.mass, self.pdata.hsml,
             self.pdata.vel, self.sph.entropy, is_bh, gas,
@@ -851,9 +930,21 @@ class Simulation:
             mdot=jnp.where(is_bh, mdot, 0.0),
             bh_mass=jnp.where(is_bh, self.bh.bh_mass + dm,
                               self.bh.bh_mass))
+        ke_energy = keflag = None
+        if par.kinetic_on:
+            rho_crit_b = self.CP.OmegaBaryon * 3 \
+                * self.CP.Hubble ** 2 \
+                / (8 * np.pi * self.CP.GravInternal)
+            ke_energy, keflag = bhmod.kinetic_update(
+                par, self.bh.bh_mass, self.bh.mdot,
+                self.bh.bh_density, self.bh.vdisp,
+                jnp.asarray(sums["mgas"]), self.bh.kinetic_energy,
+                dtime, self.cfg.units.UnitTime_in_s,
+                self.CP.HubbleParam, rho_crit_b,
+                self.cfg.units.UnitVelocity_in_cm_per_s)
         key = jax.random.PRNGKey(
             (self.cfg.random_seed + self.ti_current + 5) % (2 ** 31))
-        swallowed, ent_new, bhrow = bhmod.swallow_and_feedback(
+        swallowed, ent_new, bhrow, kick = bhmod.swallow_and_feedback(
             par, key, ipos=self.pdata.ipos, mass=self.pdata.mass,
             hsml=self.pdata.hsml, entropy=self.sph.entropy,
             density=self.sph.density, is_bh=is_bh, is_gas=gas,
@@ -863,8 +954,15 @@ class Simulation:
             boxsize=self.cfg.boxsize, atime=atime, dtime=dtime,
             unit_velocity=self.cfg.units.UnitVelocity_in_cm_per_s,
             uu_in_cgs=self.cfg.units.UnitInternalEnergy_in_cgs,
-            kernel_type=self.cfg.density_kernel_type)
+            kernel_type=self.cfg.density_kernel_type,
+            ke_energy=ke_energy, keflag=keflag)
         self.sph = self.sph.replace(entropy=ent_new)
+        if par.kinetic_on:
+            self.pdata = self.pdata.replace(
+                vel=self.pdata.vel + kick)
+            # reset released energy (blackhole.c:986-989)
+            self.bh = self.bh.replace(kinetic_energy=jnp.where(
+                keflag == 2, 0.0, ke_energy))
         # finalize swallowing on host: add mass+momentum to swallowers
         nsw = int(jnp.sum(swallowed.astype(jnp.int32)))
         if nsw > 0:
@@ -885,6 +983,47 @@ class Simulation:
             self.pdata = self.pdata.replace(
                 mass=jnp.asarray(newmass), vel=jnp.asarray(newvel),
                 valid=jnp.asarray(valid))
+        # BH-BH mergers (blackhole.c:495-560)
+        nmerge = 0
+        if nbh > 1:
+            is_bh_now = self.pdata.valid & (self.pdata.ptype == 5)
+            soft = self.cfg.gravity_softening * self.cfg.boxsize \
+                / max(round(float(np.sum(
+                    np.asarray(self.pdata.valid))) ** (1. / 3)), 1)
+            merge = bhmod.bh_mergers(
+                par,
+                pos=fixed_to_pos(np.asarray(self.pdata.ipos),
+                                 self.cfg.boxsize),
+                vel=np.asarray(self.pdata.vel),
+                accel=np.asarray(self.pdata.grav_accel)
+                + np.asarray(self.pdata.grav_pm),
+                df_accel=np.asarray(self.bh.df_accel),
+                pid=np.asarray(self.pdata.pid), is_bh=is_bh_now,
+                boxsize=self.cfg.boxsize, atime=atime,
+                softening=soft)
+            nmerge = len(merge["swallowed"])
+            if nmerge:
+                swr = merge["swallowed"]
+                tor = merge["swallower"]
+                m = np.asarray(self.pdata.mass)
+                v = np.asarray(self.pdata.vel)
+                bhm = np.asarray(self.bh.bh_mass)
+                progs = np.asarray(self.bh.count_progs)
+                mom = m[:, None] * v
+                np.add.at(mom, tor, m[swr, None] * v[swr])
+                np.add.at(m, tor, m[swr])
+                np.add.at(bhm, tor, bhm[swr])
+                np.add.at(progs, tor, progs[swr] + 1)
+                v = np.where((m > 0)[:, None],
+                             mom / np.maximum(m, 1e-30)[:, None], v)
+                valid = np.asarray(self.pdata.valid)
+                valid[swr] = False
+                self.pdata = self.pdata.replace(
+                    mass=jnp.asarray(m), vel=jnp.asarray(v),
+                    valid=jnp.asarray(valid))
+                self.bh = self.bh.replace(
+                    bh_mass=jnp.asarray(bhm),
+                    count_progs=jnp.asarray(progs))
         self.walltime.stop("BH")
         # blackholes.txt (stats.c analog)
         mdot_tot = float(jnp.sum(self.bh.mdot))
