@@ -34,6 +34,19 @@ class BHParams:
     seed_bh_dyn_mass: float = -1.0
     kinetic_on: bool = False
     merge_grav_bound: bool = True
+    # dynamical friction (bhdynfric.c set_blackhole_dynfric_params)
+    dynfric_method: int = 0     # 0 off, 1 stars, 2 +DM, 3 +gas
+    df_boost: float = 1.0
+    df_bmax: float = 20.0
+    # kinetic feedback (gadget/params.c:232-239)
+    ke_eddington_thr_factor: float = 0.05
+    ke_eddington_m_factor: float = 0.002
+    ke_eddington_m_pivot: float = 0.05
+    ke_eddington_m_index: float = 2.0
+    ke_eff_rho_factor: float = 0.05
+    ke_eff_cap: float = 0.05
+    ke_inj_energy_thr: float = 5.0
+    ke_sfr_crit_overdensity: float = 57.7
 
 
 @struct.dataclass
@@ -46,29 +59,31 @@ class BhData:
     mtrack: jnp.ndarray       # f32[N]
     formation_time: jnp.ndarray  # f32[N]
     count_progs: jnp.ndarray  # int32[N]
+    df_accel: jnp.ndarray     # f32[N,3] dynamical friction accel
+    kinetic_energy: jnp.ndarray  # f32[N] stored KineticFdbkEnergy
+    vdisp: jnp.ndarray        # f32[N] 1D DM velocity dispersion
 
     @classmethod
     def zeros(cls, n):
         z = jnp.zeros((n,), jnp.float32)
         return cls(bh_mass=z, mdot=z, bh_density=z, mtrack=z,
                    formation_time=z,
-                   count_progs=jnp.zeros((n,), jnp.int32))
+                   count_progs=jnp.zeros((n,), jnp.int32),
+                   df_accel=jnp.zeros((n, 3), jnp.float32),
+                   kinetic_energy=z, vdisp=z)
 
 
-def bh_neighbor_sums(ipos, mass, hsml, velpred, entropy, is_bh, is_gas,
-                     boxsize, kernel_type=2):
-    """BH accretion treewalk sums (blackhole_accretion_ngbiter):
-    per-BH rho, smoothed entropy, mass-weighted gas velocity, feedback
-    weight sum (spline+mass weighting).  Returns dict [N] arrays
-    (nonzero only at BH rows)."""
+def _bh_pair_setup(ipos, mass, hsml, include, is_bh, boxsize):
+    """Shared engine setup for BH-target neighbor passes: tree over
+    `include` particles, target groups, neighbor lists with each
+    group's search radius = max BH hsml among its members.  Returns
+    (tree, nbr, perm, inv, pos_box)."""
     from ..ops import pairs
     from ..ops.morton import morton_key
     from ..gravity.tree import build_tree
     from ..gravity.treewalk import make_target_groups
-    from ..sph import kernels as K
 
     n = ipos.shape[0]
-    include = is_bh | is_gas
     keys = morton_key(ipos)
     keys = jnp.where(include, keys, ~jnp.uint64(0))
     perm = jnp.argsort(keys)
@@ -82,8 +97,7 @@ def bh_neighbor_sums(ipos, mass, hsml, velpred, entropy, is_bh, is_gas,
     leaf_nodes, gc, gh, _, _, _ = make_target_groups(
         tree, pos_box, jnp.full(n, jnp.inf, jnp.float32), group_cap, 32)
 
-    inv_box = 1.0 / boxsize
-    hs = (hsml * jnp.float32(inv_box))[perm]
+    hs = (hsml * jnp.float32(1.0 / boxsize))[perm]
     hs = jnp.where(is_bh[perm], hs, 0.0)
     offg = jnp.arange(32, dtype=jnp.int32)
     safe = jnp.minimum(leaf_nodes, tree.capacity - 1)
@@ -99,7 +113,22 @@ def bh_neighbor_sums(ipos, mass, hsml, velpred, entropy, is_bh, is_gas,
         if not bool(jnp.any(nbr.overflow)):
             break
         ll *= 2
+    return tree, nbr, perm, inv, pos_box
 
+
+def bh_neighbor_sums(ipos, mass, hsml, velpred, entropy, is_bh, is_gas,
+                     boxsize, kernel_type=2):
+    """BH accretion treewalk sums (blackhole_accretion_ngbiter):
+    per-BH rho, smoothed entropy, mass-weighted gas velocity, feedback
+    weight sum (spline+mass weighting), enclosed gas mass (MgasEnc for
+    kinetic feedback, blackhole.c:643-648).  Returns dict [N] arrays
+    (nonzero only at BH rows)."""
+    from ..ops import pairs
+    from ..sph import kernels as K
+
+    include = is_bh | is_gas
+    tree, nbr, perm, inv, pos_box = _bh_pair_setup(
+        ipos, mass, hsml, include, is_bh, boxsize)
     L = boxsize
 
     def pair_fn(dx, r, tmask, smask, tfeat, sfeat):
@@ -115,7 +144,8 @@ def bh_neighbor_sums(ipos, mass, hsml, velpred, entropy, is_bh, is_gas,
                 "ent": mj * wk * sfeat["entropy"],
                 "vx": mj * wk * sfeat["v"][..., 0],
                 "vy": mj * wk * sfeat["v"][..., 1],
-                "vz": mj * wk * sfeat["v"][..., 2]}
+                "vz": mj * wk * sfeat["v"][..., 2],
+                "mgas": jnp.where(inside, mj, 0.0)}
 
     out = pairs.pair_reduce(
         pair_fn, nbr, tree, pos_box,
@@ -124,8 +154,166 @@ def bh_neighbor_sums(ipos, mass, hsml, velpred, entropy, is_bh, is_gas,
          "v": velpred[perm], "entropy": entropy[perm],
          "isgas": is_gas[perm].astype(jnp.float32)},
         {k: "sum" for k in ("rho", "fbweight", "ent", "vx", "vy",
-                            "vz")}, 32, 16)
+                            "vz", "mgas")}, 32, 16)
     return {k: v[inv] for k, v in out.items()}
+
+
+def bh_dynfric_sums(ipos, mass, hsml, velpred, is_bh, src_mask,
+                    boxsize, kernel_type=2):
+    """Dynamical-friction environment sums
+    (blackhole_dynfric_ngbiter, bhdynfric.c:233-270): kernel-weighted
+    density, mean velocity and mean squared velocity of the background
+    (stars / +DM / +gas per BH_DynFrictionMethod) around each BH.
+    Returns dict [N]: rho, vel[N,3], rmsvel (already normalized)."""
+    from ..ops import pairs
+    from ..sph import kernels as K
+
+    include = is_bh | src_mask
+    tree, nbr, perm, inv, pos_box = _bh_pair_setup(
+        ipos, mass, hsml, include, is_bh, boxsize)
+    L = boxsize
+
+    def pair_fn(dx, r, tmask, smask, tfeat, sfeat):
+        ri = r * L
+        h = tfeat["hsml"]
+        inside = (ri < h) & (tfeat["isbh"] > 0) & (sfeat["issrc"] > 0)
+        hinv = 1.0 / jnp.maximum(h, 1e-30)
+        wk = jnp.where(inside,
+                       K.kernel_wk(ri * hinv, hinv, kernel_type), 0.0)
+        mwk = sfeat["mass"] * wk
+        v = sfeat["v"]
+        return {"rho": mwk,
+                "vx": mwk * v[..., 0], "vy": mwk * v[..., 1],
+                "vz": mwk * v[..., 2],
+                "v2": mwk * jnp.sum(v * v, axis=-1)}
+
+    out = pairs.pair_reduce(
+        pair_fn, nbr, tree, pos_box,
+        {"hsml": hsml[perm], "isbh": is_bh[perm].astype(jnp.float32)},
+        {"mass": jnp.where(src_mask[perm], mass[perm], 0.0),
+         "v": velpred[perm],
+         "issrc": src_mask[perm].astype(jnp.float32)},
+        {k: "sum" for k in ("rho", "vx", "vy", "vz", "v2")}, 32, 16)
+    rho = out["rho"][inv]
+    safe = jnp.maximum(rho, 1e-30)
+    vel = jnp.stack([out["vx"][inv], out["vy"][inv],
+                     out["vz"][inv]], axis=-1) / safe[:, None]
+    rmsvel = jnp.sqrt(jnp.maximum(out["v2"][inv] / safe, 0.0))
+    return {"rho": rho, "vel": vel, "rmsvel": rmsvel}
+
+
+def dynfric_accel(rho, vel_sur, rmsvel, mass_dyn, vel, atime, G,
+                  bmax=20.0, boost=1.0):
+    """Chandrasekhar dynamical friction in the Gizmo form
+    (blackhole_compute_dfaccel, bhdynfric.c:84-145):
+      a_DF = -4 pi G^2 M rho ln(Lambda) f(x) dv / |dv|^3 * a * boost
+      f(x) = erf(x) - 2 x exp(-x^2)/sqrt(pi),  x = |dv|/(sqrt2 sigma/3)
+      Lambda = 1 + bmax |dv_phys|^2 / (G M).
+    All in internal (comoving) units; returns accel [N,3]."""
+    dv = vel - vel_sur
+    bhvel = jnp.sqrt(jnp.sum(dv * dv, axis=-1))
+    sigma = jnp.maximum(rmsvel / 3.0, 1e-30)
+    x = bhvel / (np.sqrt(2.0) * sigma)
+    # erf via the same exp approximation as the reference
+    a_erf = 8 * (np.pi - 3) / (3 * np.pi * (4.0 - np.pi))
+    x2 = x * x
+    erf_x = jnp.sqrt(jnp.maximum(
+        1 - jnp.exp(-x2 * (4 / np.pi + a_erf * x2)
+                    / (1 + a_erf * x2)), 0.0))
+    f_of_x = jnp.maximum(erf_x - 2 * x / np.sqrt(np.pi)
+                         * jnp.exp(-x2), 0.0)
+    lam = 1.0 + bmax * (bhvel / atime) ** 2 \
+        / (G * jnp.maximum(mass_dyn, 1e-30))
+    pref = jnp.where(
+        (rho > 0) & (bhvel > 0),
+        -4 * np.pi * G * G * mass_dyn * rho * jnp.log(lam) * f_of_x
+        / jnp.maximum(bhvel, 1e-30) ** 3 * atime * boost, 0.0)
+    return pref[:, None] * dv
+
+
+def kinetic_update(par: BHParams, bh_mass, mdot, bh_density, vdisp,
+                   mgas_enc, ke_energy, dtime, unit_time_in_s,
+                   hubble_param, rho_crit_baryon, unit_velocity):
+    """AGN kinetic channel bookkeeping (blackhole.c:437-467):
+    accumulate dE = eps mdot c^2 dt while the Eddington ratio is below
+    the (mass-dependent) threshold; flag release when the stored energy
+    exceeds BHKE_InjEnergyThr x (1/2) VDisp^2 Mgas_enc.
+    Returns (ke_energy_new, keflag) with keflag 0/1/2."""
+    meddington = (4 * np.pi * C.GRAVITY * C.LIGHTCGS * C.PROTONMASS
+                  / (0.1 * C.LIGHTCGS ** 2 * C.THOMPSON)) * bh_mass \
+        * unit_time_in_s / hubble_param
+    edd_ratio = mdot / jnp.maximum(meddington, 1e-30)
+    lam_thresh = jnp.minimum(
+        par.ke_eddington_thr_factor,
+        par.ke_eddington_m_factor
+        * (bh_mass / par.ke_eddington_m_pivot)
+        ** par.ke_eddington_m_index)
+    accumulating = edd_ratio < lam_thresh
+    rho_sfr = par.ke_sfr_crit_overdensity * rho_crit_baryon
+    eps = jnp.minimum(bh_density / rho_sfr / par.ke_eff_rho_factor,
+                      par.ke_eff_cap)
+    de = eps * mdot * dtime * (C.LIGHTCGS / unit_velocity) ** 2
+    ke_new = jnp.where(accumulating, ke_energy + de, ke_energy)
+    thresh = 0.5 * vdisp * vdisp * mgas_enc * par.ke_inj_energy_thr
+    release = (vdisp > 0) & (ke_new > thresh)
+    keflag = jnp.where(release, 2,
+                       jnp.where(accumulating, 1, 0)).astype(jnp.int32)
+    return ke_new, keflag
+
+
+def bh_mergers(par: BHParams, *, pos, vel, accel, df_accel, pid,
+               is_bh, boxsize, atime, softening):
+    """BH-BH mergers (blackhole_accretion_ngbiter BH branch,
+    blackhole.c:495-560 + check_grav_bound :163-181).
+
+    Host-side O(N_BH^2): BHs are few and the swallow-ID resolution is
+    inherently sequential.  Two BHs merge when r < 2 x softening
+    (2 FORCE_SOFTENING/2.8) and, with MergeGravBound, when
+    KE/a^2 + (da.dx)/a <= 0.  The larger ID swallows; a swallower that
+    is itself swallowed forwards its prey (SwallowID chain).
+    Returns (merge mask [N] of swallowed rows, swallower row per
+    swallowed, updated host arrays dict) -- caller applies them.
+    """
+    rows = np.nonzero(np.asarray(is_bh))[0]
+    nb = len(rows)
+    out = {"swallowed": np.zeros(0, np.int64),
+           "swallower": np.zeros(0, np.int64)}
+    if nb < 2:
+        return out
+    p = np.asarray(pos, np.float64)[rows]
+    v = np.asarray(vel, np.float64)[rows]
+    a_full = (np.asarray(accel, np.float64)
+              + np.asarray(df_accel, np.float64))[rows]
+    ids = np.asarray(pid)[rows]
+    dx = p[:, None, :] - p[None, :, :]
+    dx -= np.round(dx / boxsize) * boxsize
+    r = np.linalg.norm(dx, axis=-1)
+    close = (r < 2 * softening) & ~np.eye(nb, dtype=bool)
+    if par.merge_grav_bound:
+        dv = v[:, None, :] - v[None, :, :]
+        da = a_full[:, None, :] - a_full[None, :, :]
+        ke = 0.5 * np.sum(dv * dv, axis=-1) / atime ** 2
+        pe = np.sum(da * dx, axis=-1) / atime
+        close &= (ke + pe) <= 0
+    # larger ID swallows smaller (blackhole.c:545-552)
+    swallower_of = np.full(nb, -1, np.int64)
+    order = np.argsort(-ids.astype(np.int64), kind="stable")
+    for i in order:            # big IDs claim prey first
+        for j in range(nb):
+            if close[i, j] and ids[i] > ids[j] \
+                    and swallower_of[j] < 0 and swallower_of[i] < 0:
+                swallower_of[j] = i
+    # collapse chains (a swallowed swallower cannot happen given the
+    # swallower_of[i] < 0 guard above, but keep it robust)
+    for j in range(nb):
+        k = swallower_of[j]
+        while k >= 0 and swallower_of[k] >= 0:
+            k = swallower_of[k]
+        swallower_of[j] = k
+    sw = np.nonzero(swallower_of >= 0)[0]
+    out["swallowed"] = rows[sw]
+    out["swallower"] = rows[swallower_of[sw]]
+    return out
 
 
 def bondi_accretion(par: BHParams, bh_mass, rho_com, entropy_sm,
@@ -158,7 +346,7 @@ def swallow_and_feedback(par: BHParams, key, *, ipos, mass, hsml,
                          entropy, density, is_bh, is_gas, pid, bh_mass,
                          mdot, bh_density, fbweight, boxsize, atime,
                          dtime, unit_velocity, uu_in_cgs,
-                         kernel_type=2):
+                         kernel_type=2, ke_energy=None, keflag=None):
     """Gas-side pass: stochastic swallowing + thermal feedback
     (blackhole_feedback_ngbiter, blackhole.c:577-614, 843-868).
 
@@ -204,6 +392,13 @@ def swallow_and_feedback(par: BHParams, key, *, ipos, mass, hsml,
     L = boxsize
     fb_energy = par.feedback_factor * 0.1 * mdot * dtime \
         * (C.LIGHTCGS / unit_velocity) ** 2
+    if keflag is not None:
+        # kinetic channel suppresses thermal feedback this step
+        # (blackhole.c:928-933)
+        fb_energy = jnp.where(keflag > 0, 0.0, fb_energy)
+    ke_rel = jnp.zeros_like(fb_energy) if ke_energy is None else \
+        jnp.where((keflag == 2) if keflag is not None else False,
+                  ke_energy, 0.0)
 
     def pair_fn(dx, r, tmask, smask, tfeat, sfeat):
         ri = r * L
@@ -221,7 +416,12 @@ def swallow_and_feedback(par: BHParams, key, *, ipos, mass, hsml,
                        sfeat["fbe"] * tfeat["mass"] * wk
                        / jnp.maximum(sfeat["fbw"], 1e-30), 0.0) \
             / jnp.maximum(tfeat["mass"], 1e-30)
-        return {"p": p, "du": du,
+        # kinetic kick speed (blackhole.c:870-880)
+        dv = jnp.where(sfeat["bhrho"] > 0,
+                       jnp.sqrt(2.0 * sfeat["ke"] * wk
+                                / jnp.maximum(sfeat["bhrho"], 1e-30)),
+                       0.0)
+        return {"p": p, "du": du, "dv": dv,
                 "bhrow": jnp.where(near, sfeat["row"], -1.0)}
 
     rows = jnp.arange(n, dtype=jnp.float32)[perm]
@@ -233,11 +433,20 @@ def swallow_and_feedback(par: BHParams, key, *, ipos, mass, hsml,
          "isbh": is_bh[perm].astype(jnp.float32),
          "bhmass": bh_mass[perm], "mdyn": mass[perm],
          "bhrho": bh_density[perm], "fbw": fbweight[perm],
-         "fbe": fb_energy[perm], "row": rows},
-        {"p": "sum", "du": "sum", "bhrow": "max"}, 32, 16)
+         "fbe": fb_energy[perm], "ke": ke_rel[perm], "row": rows},
+        {"p": "sum", "du": "sum", "dv": "sum", "bhrow": "max"}, 32, 16)
     p = out["p"][inv]
     du = out["du"][inv]
+    dv = out["dv"][inv]
     bhrow = out["bhrow"][inv].astype(jnp.int32)
+    # random unit direction per gas particle (get_random_dir analog)
+    u1 = _id_uniform(jax.random.fold_in(key, 11), pid)
+    u2 = _id_uniform(jax.random.fold_in(key, 13), pid)
+    ct = 2.0 * u1 - 1.0
+    st = jnp.sqrt(jnp.maximum(1.0 - ct * ct, 0.0))
+    phi = 2.0 * np.pi * u2
+    kick = dv[:, None] * jnp.stack(
+        [st * jnp.cos(phi), st * jnp.sin(phi), ct], axis=-1)
     draw = _id_uniform(key, pid)
     swallowed = is_gas & (draw < p) & (bhrow >= 0)
     # cap injected temperature at 5e8 K (add_injected_BH_energy)
@@ -249,7 +458,8 @@ def swallow_and_feedback(par: BHParams, key, *, ipos, mass, hsml,
     u_new = jnp.minimum(u_new, 5.0e8 / u_to_temp)
     ent_new = jnp.where(is_gas & (du > 0),
                         u_new / jnp.maximum(enttou, 1e-30), entropy)
-    return swallowed, ent_new, bhrow
+    kick = jnp.where(is_gas[:, None], kick, 0.0)
+    return swallowed, ent_new, bhrow, kick
 
 
 def seed_black_holes(par: BHParams, cat, pdata, bh: BhData, sph,

@@ -978,7 +978,7 @@ class Simulation:
             newvel = np.where((newmass > 0)[:, None],
                               newmom / np.maximum(newmass, 1e-30)[:, None],
                               v)
-            valid = np.asarray(self.pdata.valid)
+            valid = np.array(self.pdata.valid)
             valid[sw] = False
             self.pdata = self.pdata.replace(
                 mass=jnp.asarray(newmass), vel=jnp.asarray(newvel),
@@ -1005,10 +1005,10 @@ class Simulation:
             if nmerge:
                 swr = merge["swallowed"]
                 tor = merge["swallower"]
-                m = np.asarray(self.pdata.mass)
-                v = np.asarray(self.pdata.vel)
-                bhm = np.asarray(self.bh.bh_mass)
-                progs = np.asarray(self.bh.count_progs)
+                m = np.array(self.pdata.mass)
+                v = np.array(self.pdata.vel)
+                bhm = np.array(self.bh.bh_mass)
+                progs = np.array(self.bh.count_progs)
                 mom = m[:, None] * v
                 np.add.at(mom, tor, m[swr, None] * v[swr])
                 np.add.at(m, tor, m[swr])
@@ -1016,7 +1016,7 @@ class Simulation:
                 np.add.at(progs, tor, progs[swr] + 1)
                 v = np.where((m > 0)[:, None],
                              mom / np.maximum(m, 1e-30)[:, None], v)
-                valid = np.asarray(self.pdata.valid)
+                valid = np.array(self.pdata.valid)
                 valid[swr] = False
                 self.pdata = self.pdata.replace(
                     mass=jnp.asarray(m), vel=jnp.asarray(v),

@@ -84,7 +84,7 @@ def test_swallow_and_feedback():
     mdot = jnp.where(is_bh, 1.0, 0.0)
     density = jnp.full(n, 0.01, jnp.float32)
     par = BHParams()
-    swallowed, ent_new, bhrow = swallow_and_feedback(
+    swallowed, ent_new, bhrow, kick = swallow_and_feedback(
         par, jax.random.PRNGKey(0), ipos=pdata.ipos, mass=pdata.mass,
         hsml=hsml, entropy=entropy, density=density, is_bh=is_bh,
         is_gas=is_gas, pid=pdata.pid, bh_mass=bh_mass, mdot=mdot,
@@ -128,3 +128,131 @@ def test_fof_seeding():
     cat2 = dict(cat, masses=np.array([10.0]))
     _, _, ns2 = seed_black_holes(par, cat2, pdata, bh, sph, 0.5)
     assert ns2 == 0
+
+
+def test_dynfric_accel_formula():
+    """Chandrasekhar DF (bhdynfric.c:84-145): decelerates the BH along
+    its relative velocity; magnitude matches the formula with the real
+    error function within the approximation's 0.7% accuracy."""
+    from mpgadget_tpu.physics.blackhole import dynfric_accel
+    from scipy.special import erf
+
+    rho = jnp.asarray([2.0])
+    vel_sur = jnp.asarray([[0.0, 0.0, 0.0]])
+    rmsvel = jnp.asarray([3.0])        # sigma = 1
+    vel = jnp.asarray([[1.5, 0.0, 0.0]])
+    mass = jnp.asarray([10.0])
+    atime, G = 0.5, 43007.1
+    acc = np.asarray(dynfric_accel(rho, vel_sur, rmsvel, mass, vel,
+                                   atime, G, bmax=20.0, boost=1.0))
+    assert acc[0, 1] == 0 and acc[0, 2] == 0
+    assert acc[0, 0] < 0  # decelerating
+    x = 1.5 / np.sqrt(2) / 1.0
+    f = erf(x) - 2 * x / np.sqrt(np.pi) * np.exp(-x * x)
+    lam = 1 + 20.0 * (1.5 / atime) ** 2 / (G * 10.0)
+    expect = -4 * np.pi * G ** 2 * 10.0 * 2.0 * np.log(lam) * f \
+        / 1.5 ** 3 * atime * 1.5
+    assert np.isclose(acc[0, 0], expect, rtol=0.01)
+    # zero background or zero velocity -> zero force, no NaN
+    acc0 = np.asarray(dynfric_accel(
+        jnp.zeros(1), vel_sur, rmsvel, mass, vel, atime, G))
+    accv = np.asarray(dynfric_accel(
+        rho, vel_sur, rmsvel, mass, jnp.zeros((1, 3)), atime, G))
+    assert np.all(acc0 == 0) and np.all(accv == 0)
+
+
+def test_bh_dynfric_sums_uniform():
+    """DF sums vs direct kernel-weighted summation around the BH."""
+    from mpgadget_tpu.physics.blackhole import bh_dynfric_sums
+    from mpgadget_tpu.sph.kernels import kernel_wk
+    box, ng = 100.0, 10
+    n = ng ** 3
+    rngs = np.random.RandomState(7)
+    grid = np.indices((ng, ng, ng)).reshape(3, -1).T / ng * box
+    pos = np.concatenate([grid, [[50.05, 50.05, 50.05]]])
+    is_bh = np.zeros(n + 1, bool); is_bh[-1] = True
+    is_star = ~is_bh
+    vel = rngs.randn(n + 1, 3).astype(np.float32)
+    h = 25.0
+    hsml = np.full(n + 1, h, np.float32)
+    out = bh_dynfric_sums(
+        jnp.asarray(pos_to_fixed(pos, box)),
+        jnp.ones(n + 1, jnp.float32), jnp.asarray(hsml),
+        jnp.asarray(vel), jnp.asarray(is_bh), jnp.asarray(is_star),
+        box)
+    # direct reference
+    d = grid - pos[-1]
+    d -= np.round(d / box) * box
+    r = np.linalg.norm(d, axis=1)
+    wk = np.where(r < h, np.asarray(kernel_wk(
+        jnp.asarray(r / h, jnp.float32), jnp.float32(1 / h), 2)), 0.0)
+    rho_ref = wk.sum()
+    vel_ref = (wk[:, None] * vel[:n]).sum(0) / rho_ref
+    rms_ref = np.sqrt((wk * (vel[:n] ** 2).sum(1)).sum() / rho_ref)
+    assert np.isclose(float(out["rho"][-1]), rho_ref, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(out["vel"][-1]), vel_ref,
+                               atol=1e-3)
+    assert np.isclose(float(out["rmsvel"][-1]), rms_ref, rtol=1e-3)
+    # rho is also close to the uniform lattice density
+    assert np.isclose(rho_ref, n / box ** 3, rtol=0.05)
+
+
+def test_bh_mergers():
+    """Close bound pair merges (bigger ID swallows); unbound or distant
+    pairs do not (blackhole.c:495-560)."""
+    from mpgadget_tpu.physics.blackhole import bh_mergers
+    par = BHParams(merge_grav_bound=True)
+    box, soft = 1000.0, 1.0
+    # pair A: close, at rest, accel pointing together (bound)
+    # pair B: close but huge relative velocity (unbound)
+    # C: isolated
+    pos = np.array([[100.0, 100, 100], [100.5, 100, 100],
+                    [500.0, 500, 500], [500.5, 500, 500],
+                    [900.0, 900, 900]])
+    vel = np.zeros((5, 3)); vel[3, 0] = 1e4
+    acc = np.zeros((5, 3))
+    acc[0, 0] = 1.0; acc[1, 0] = -1.0   # attracting
+    acc[2, 0] = 1.0; acc[3, 0] = -1.0
+    pid = np.array([11, 22, 33, 44, 55], np.uint64)
+    out = bh_mergers(par, pos=pos, vel=vel, accel=acc,
+                     df_accel=np.zeros((5, 3)), pid=pid,
+                     is_bh=np.ones(5, bool), boxsize=box, atime=1.0,
+                     softening=soft)
+    assert list(out["swallowed"]) == [0]
+    assert list(out["swallower"]) == [1]  # ID 22 swallows 11
+    # without the bound check, the fast pair merges too
+    par2 = BHParams(merge_grav_bound=False)
+    out2 = bh_mergers(par2, pos=pos, vel=vel, accel=acc,
+                      df_accel=np.zeros((5, 3)), pid=pid,
+                      is_bh=np.ones(5, bool), boxsize=box, atime=1.0,
+                      softening=soft)
+    assert set(out2["swallowed"]) == {0, 2}
+
+
+def test_kinetic_update():
+    """Kinetic channel: accumulates below the Eddington-ratio
+    threshold, releases when above the VDisp energy threshold
+    (blackhole.c:437-467)."""
+    from mpgadget_tpu.physics.blackhole import kinetic_update
+    par = BHParams(kinetic_on=True, ke_eddington_thr_factor=0.05,
+                   ke_eddington_m_factor=1e30)  # mass term not binding
+    bh_mass = jnp.asarray([0.01, 0.01])
+    # meddington ~ 4 pi G c mp/(0.1 c^2 sigma_T) * M * t_unit/h
+    from mpgadget_tpu.utils import constants as Cc
+    tunit = 3.08568e16  # ~kpc/(km/s) in s
+    medd = (4 * np.pi * Cc.GRAVITY * Cc.LIGHTCGS * Cc.PROTONMASS
+            / (0.1 * Cc.LIGHTCGS ** 2 * Cc.THOMPSON)) * 0.01 \
+        * tunit / 0.7
+    # BH0 accreting slowly (accumulate), BH1 at Eddington (not)
+    mdot = jnp.asarray([0.001 * medd, 1.0 * medd], jnp.float32)
+    rho_crit_b = 1e-8
+    dens = jnp.asarray([1e-6, 1e-6], jnp.float32)
+    ke0 = jnp.zeros(2, jnp.float32)
+    ke1, flag = kinetic_update(
+        par, bh_mass, mdot, dens, jnp.asarray([100.0, 100.0]),
+        jnp.asarray([0.0, 0.0]),  # MgasEnc = 0 -> thresh 0 -> release
+        ke0, 0.01, tunit, 0.7, rho_crit_b, 1e5)
+    ke1 = np.asarray(ke1)
+    flag = np.asarray(flag)
+    assert ke1[0] > 0 and flag[0] == 2   # accumulated, above 0 thresh
+    assert ke1[1] == 0 and flag[1] == 0  # Eddington: not accumulating
