@@ -76,6 +76,7 @@ def build_simulation(paramfile_or_ps, override=None, snapshot=None):
         cooling_on=bool(ps["CoolingOn"]),
         treecool_file=ps["TreeCoolFile"],
         metal_cool_file=ps["MetalCoolFile"],
+        uv_fluctuation_file=ps["UVFluctuationFile"],
         cooling_rates=ps["CoolingRates"],
         recomb_rates=ps["RecombRates"],
         self_shielding_on=bool(ps["SelfShieldingOn"]),

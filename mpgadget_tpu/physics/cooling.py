@@ -316,6 +316,67 @@ class MetalCoolingTable:
         return out
 
 
+class UVFluctuationTable:
+    """Patchy (non-uniform) reionization: a gridded reionization
+    redshift z_reion(x) (init_uvf_table / get_local_UVBG_from_global,
+    cooling_uvfluc.c:114-195).  Gas at z > z_reion(x) sees no UV
+    background.  Periodic trilinear interpolation over an Nside^3
+    C-ordered table; fixed-point positions make the periodic wrap a
+    uint32 overflow."""
+
+    def __init__(self, nside, table, median_zreion=None):
+        self.nside = int(nside)
+        self.table = jnp.asarray(
+            np.asarray(table).reshape((self.nside,) * 3), jnp.float32)
+        self.median_zreion = median_zreion
+
+    @classmethod
+    def from_file(cls, path, boxsize_internal, unitlength_in_cm):
+        """Read the reference layout: Zreion_Table block with attrs
+        Nmesh (u8), BoxSize (f8, Mpc/h), Redshift (f8)."""
+        from ..io.bigfile import BigFile
+        bf = BigFile(path)
+        blk = bf.open("Zreion_Table")
+        nside = int(np.asarray(blk.attrs["Nmesh"])[0])
+        tbox = float(np.asarray(blk.attrs["BoxSize"])[0])
+        zre = float(np.asarray(blk.attrs["Redshift"])[0])
+        box_mpc = boxsize_internal * unitlength_in_cm / C.CM_PER_MPC
+        if abs(tbox - box_mpc) > box_mpc * 1e-5:
+            raise ValueError(
+                f"UV fluctuation file {path} is for box "
+                f"{tbox} Mpc/h, current box is {box_mpc} Mpc/h")
+        return cls(nside, blk.read(), median_zreion=zre)
+
+    def zreion(self, ipos):
+        """z_reion at fixed-point positions, periodic trilinear."""
+        ns = self.nside
+        f = ipos.astype(jnp.float32) * jnp.float32(ns * 2.0 ** -32)
+        i0 = jnp.floor(f).astype(jnp.int32)
+        w = f - i0
+        out = jnp.zeros(ipos.shape[0], jnp.float32)
+        for corner in range(8):
+            bits = jnp.asarray([(corner >> 2) & 1, (corner >> 1) & 1,
+                                corner & 1], jnp.int32)
+            idx = (i0 + bits) % ns
+            wt = jnp.prod(jnp.where(bits > 0, w, 1.0 - w), axis=-1)
+            out = out + wt * self.table[idx[..., 0], idx[..., 1],
+                                        idx[..., 2]]
+        return out
+
+
+def local_uvbg(global_uvbg: UVBG, zreion_vals, redshift) -> UVBG:
+    """Per-particle UVBG: zero rates where the local patch has not yet
+    reionized (get_local_UVBG_from_global, cooling_uvfluc.c:174-196)."""
+    on = (zreion_vals >= redshift).astype(jnp.float32)
+    return UVBG(gJH0=global_uvbg.gJH0 * on,
+                gJHe0=global_uvbg.gJHe0 * on,
+                gJHep=global_uvbg.gJHep * on,
+                epsH0=global_uvbg.epsH0 * on,
+                epsHe0=global_uvbg.epsHe0 * on,
+                epsHep=global_uvbg.epsHep * on,
+                self_shield_dens=global_uvbg.self_shield_dens)
+
+
 class CoolingRates:
     """Vectorized network: all inputs/outputs are jnp arrays (per
     particle).  density in protons/cm^3, ienergy in erg/g."""

@@ -62,6 +62,7 @@ class SimConfig:
     cooling_on: bool = False
     treecool_file: str = ""
     metal_cool_file: str = ""
+    uv_fluctuation_file: str = ""
     cooling_rates: int = 2        # Sherwood
     recomb_rates: int = 1         # Verner96
     self_shielding_on: bool = True
@@ -531,6 +532,12 @@ class Simulation:
         if self.cfg.metal_cool_file:
             from .physics.cooling import MetalCoolingTable
             mtab = MetalCoolingTable.from_file(self.cfg.metal_cool_file)
+        self._uvf = None
+        if self.cfg.uv_fluctuation_file:
+            from .physics.cooling import UVFluctuationTable
+            self._uvf = UVFluctuationTable.from_file(
+                self.cfg.uv_fluctuation_file, self.cfg.boxsize,
+                self.cfg.units.UnitLength_in_cm)
         self._cooling = CoolingRates(par, tc, metal_table=mtab)
         self._treecool = tc
         units = self.cfg.units
@@ -552,6 +559,10 @@ class Simulation:
         redshift = 1.0 / atime - 1.0
         hubble = self.CP.hubble_function(atime)
         uvbg = self._treecool.get_global_uvbg(redshift)
+        if getattr(self, "_uvf", None) is not None:
+            from .physics.cooling import local_uvbg
+            uvbg = local_uvbg(uvbg, self._uvf.zreion(self.pdata.ipos),
+                              redshift)
         a3 = atime ** 3
         rho_phys = jnp.maximum(self.sph.density, 1e-30) / a3
         u = self.sph.entropy / GAMMA_MINUS1 * rho_phys ** GAMMA_MINUS1
@@ -620,6 +631,10 @@ class Simulation:
         redshift = 1.0 / atime - 1.0
         hubble = self.CP.hubble_function(atime)
         uvbg = self._treecool.get_global_uvbg(redshift)
+        if getattr(self, "_uvf", None) is not None:
+            from .physics.cooling import local_uvbg
+            uvbg = local_uvbg(uvbg, self._uvf.zreion(self.pdata.ipos),
+                              redshift)
         key = jax.random.PRNGKey(
             (self.cfg.random_seed + self.ti_current) % (2 ** 31))
 

@@ -184,3 +184,53 @@ def test_metal_cooling_table(tmp_path):
     d2 = lam[1] - lam[2]
     assert d1 > 0, "metal cooling must reduce LambdaNet"
     assert np.isclose(d1, d2, rtol=1e-3), "linear in Z"
+
+
+def test_uv_fluctuations(tmp_path):
+    """Patchy reionization: regions with zreion < z see no UV
+    background (get_local_UVBG_from_global, cooling_uvfluc.c:174-196)."""
+    from mpgadget_tpu.physics.cooling import (UVFluctuationTable,
+                                              local_uvbg, UVBG)
+    from mpgadget_tpu.io.bigfile import BigFile
+    from mpgadget_tpu.particles import pos_to_fixed
+    from mpgadget_tpu.utils import constants as Cc
+
+    ns, box = 8, 5000.0  # kpc/h -> 5 Mpc/h
+    tab = np.full((ns, ns, ns), 20.0)
+    tab[ns // 2:, :, :] = 2.0   # x > box/2 reionizes late
+    path = str(tmp_path / "uvf")
+    bf = BigFile(path, create=True)
+    blk = bf.create_from_array("Zreion_Table", tab.ravel())
+    blk.attrs["Nmesh"] = np.asarray([ns], "<u8")
+    blk.attrs["BoxSize"] = np.asarray([5.0], "<f8")
+    blk.attrs["Redshift"] = np.asarray([8.0], "<f8")
+
+    uvf = UVFluctuationTable.from_file(path, box, Cc.CM_PER_KPC)
+    # wrong box size must be rejected
+    with pytest.raises(ValueError):
+        UVFluctuationTable.from_file(path, 2 * box, Cc.CM_PER_KPC)
+
+    pos = np.array([[1250.0, 2500, 2500],    # early patch (z_re = 20)
+                    [3750.0, 2500, 2500]])   # late patch (z_re = 2)
+    zr = np.asarray(uvf.zreion(jnp.asarray(pos_to_fixed(pos, box))))
+    assert np.isclose(zr[0], 20.0, atol=1e-4)
+    assert np.isclose(zr[1], 2.0, atol=1e-4)
+
+    glob = UVBG(gJH0=1e-12, gJHe0=1e-13, gJHep=1e-14, epsH0=1e-24,
+                epsHe0=1e-25, epsHep=1e-26, self_shield_dens=1e-3)
+    loc = local_uvbg(glob, jnp.asarray(zr), redshift=6.0)
+    assert np.isclose(float(loc.gJH0[0]), 1e-12)  # full UVB
+    assert float(loc.gJH0[1]) == 0.0        # not yet: dark
+    assert float(loc.epsHep[1]) == 0.0
+    assert float(loc.self_shield_dens) == 1e-3
+
+    # gating changes the equilibrium: neutral without UVB, ionized with
+    from mpgadget_tpu.physics.cooling import (CoolingRates,
+                                              CoolingParams, TreeCool)
+    cr = CoolingRates(CoolingParams(SelfShieldingOn=False),
+                      TreeCool(None, CoolingParams()))
+    rho = jnp.full(2, 1e-4, jnp.float32)
+    u = jnp.full(2, 2e12, jnp.float32)
+    nf = cr.get_neutral_fraction(rho, u, loc, jnp.ones(2, jnp.float32))
+    nf = np.asarray(nf)
+    assert nf[1] > 50 * nf[0], nf  # dark patch far more neutral
