@@ -28,14 +28,16 @@ REFERENCE_NODE_RATE = 5.6e5  # particle-steps/sec on a 56-core CPU node
 def main():
     import jax
     import jax.numpy as jnp
-    from mpgadget_tpu.gravity.treepm import TreeGravity
+    from functools import partial
+    from mpgadget_tpu.gravity.treepm import TreeGravity, tree_force
     from mpgadget_tpu.pm.gravity import _pm_force_kernel
     from mpgadget_tpu.integrate import drift, kick
     from mpgadget_tpu.particles import ParticleData
 
-    ngrid = 64
-    nmesh = 128
-    boxsize = 50000.0
+    import os
+    ngrid = int(os.environ.get("BENCH_NGRID", 64))
+    nmesh = 2 * ngrid
+    boxsize = 50000.0 * ngrid / 64
     n = ngrid ** 3
 
     rng = np.random.RandomState(3)
@@ -48,32 +50,46 @@ def main():
     tg = TreeGravity(boxsize=boxsize, nmesh=nmesh, asmth=1.5, rcut=6,
                      G=43007.1, softening=2.8 * boxsize / ngrid / 30,
                      tree_use_bh=0, with_potential=False)
+    kw = tg.force_kwargs(n)
 
-    def step(pdata):
-        acc_tree = tg.compute(pdata)
+    # ONE jitted graph for the whole KDK step (tree + PM + kick +
+    # drift): per-dispatch tunnel latency is ~30ms, so a production
+    # loop fuses the step; donated buffers update in place.
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(ipos, vel, mass, valid, amag):
+        res = tree_force(ipos, mass, valid, amag, **kw)
         acc_pm, _, _ = _pm_force_kernel(
-            pdata.ipos, pdata.mass, nmesh, boxsize, 43007.1, 1.5,
+            ipos, mass, nmesh, boxsize, 43007.1, 1.5,
             compute_potential=False)
-        vel = kick(pdata.vel, acc_tree + acc_pm, 1e-6)
-        ipos = drift(pdata.ipos, vel, 1e-6, 1.0 / boxsize)
-        return pdata.replace(ipos=ipos, vel=vel)
+        acc = res.accel + acc_pm
+        amag = jnp.sqrt(jnp.sum(acc * acc, axis=-1))
+        vel = kick(vel, acc, 1e-6)
+        ipos = drift(ipos, vel, 1e-6, 1.0 / boxsize)
+        return ipos, vel, amag
+
+    state = (pdata.ipos, pdata.vel, pdata.mass, pdata.valid,
+             jnp.zeros(n, jnp.float32))
+
+    def run1(state):
+        ipos, vel, amag = step(*state)
+        return (ipos, vel, state[2], state[3], amag)
 
     # warmup/compile; a scalar fetch forces real execution (the axon
     # tunnel's block_until_ready is a no-op)
-    pdata = step(pdata)
-    float(jnp.sum(pdata.vel[0]))
+    state = run1(state)
+    float(jnp.sum(state[1][0]))
 
-    nrep = 4
+    nrep = 6
     t0 = time.perf_counter()
     for _ in range(nrep):
-        pdata = step(pdata)
-        float(jnp.sum(pdata.vel[0]))
+        state = run1(state)
+        float(jnp.sum(state[1][0]))
     dt = (time.perf_counter() - t0) / nrep
 
     rate = n / dt
     print(json.dumps({
         "metric": "TreePM KDK step particle rate "
-                  "(64^3 DM, 128^3 mesh, 1 chip)",
+                  f"({ngrid}^3 DM, {nmesh}^3 mesh, 1 chip)",
         "value": rate,
         "unit": "particle-steps/sec",
         "vs_baseline": rate / REFERENCE_NODE_RATE,

@@ -36,7 +36,7 @@ class TreeConfig:
     leaf_max: int = 32       # make a leaf when count <= this
     group_max: int = 128     # target-group size for the treewalk
     max_level: int = 15      # deepest split level (<= MORTON_BITS)
-    node_factor: float = 2.0  # node capacity = factor * N + 64
+    node_factor: float = 0.5  # node capacity = factor * N + 64
 
 
 @jax.tree_util.register_pytree_node_class

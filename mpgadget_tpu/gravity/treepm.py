@@ -4,23 +4,103 @@ Ties together: Morton sort -> octree build -> grouped traversal ->
 dense evaluation -> unsort, with the reference's parameterization
 (TreeRcut, Asmth, BHOpeningAngle / relative opening, Plummer-equivalent
 softening 2.8x; gravshort-tree.c:32-155).
+
+The whole pipeline is one jittable pure function
+(:func:`tree_force`) with **no host round-trips**: capacities are
+static, and "buffer full" conditions (the reference's export-buffer
+retry, treewalk.c:801-902) surface as overflow flags in the returned
+:class:`TreeForceResult` that callers check asynchronously (e.g. once
+per output time, not per step).
 """
 
 from dataclasses import dataclass, field
+from functools import partial
 from typing import Optional
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+from flax import struct
 
-from .tree import build_tree, TreeConfig
-from .treewalk import (WalkConfig, make_target_groups, traverse,
-                       evaluate, traverse_fused, evaluate_leaves)
-from ..ops.morton import morton_key
+from .tree import TreeConfig
+from .tree32 import build_tree32, sort_by_morton32
+from .treewalk import (WalkConfig, make_block_groups, make_leaf_sources,
+                       traverse_fused, evaluate_leaves)
+
+
+@struct.dataclass
+class TreeForceResult:
+    accel: jnp.ndarray          # f32[N,3] internal units, original order
+    potential: jnp.ndarray      # f32[N] internal units (0 if not computed)
+    overflow: jnp.ndarray       # bool: any capacity exceeded (redo bigger)
+
+
+@partial(jax.jit, static_argnames=(
+    "leaf_max", "max_level", "node_cap", "group_size",
+    "walk_cfg", "with_potential", "use_bh", "rcut_box", "theta2",
+    "err_tol_force_acc", "rs_inv_box", "h_inv_box", "g_over_box2"))
+def tree_force(ipos, mass, valid, acc_old_mag, *, leaf_max, max_level,
+               node_cap, group_size, walk_cfg, rcut_box,
+               theta2, use_bh, err_tol_force_acc, rs_inv_box, h_inv_box,
+               g_over_box2, with_potential):
+    """Short-range tree force for all particles, fully on-device.
+
+    acc_old_mag: |a_old| per particle in internal units (relative
+    opening criterion, gravshort-tree.c:221-240); geometry internally
+    in box units, result scaled by g_over_box2 = G/box^2 (and G/box
+    for the potential).
+    """
+    n = ipos.shape[0]
+    G = group_size
+    npad = (-n) % G
+    if npad:
+        ipos = jnp.pad(ipos, ((0, npad), (0, 0)))
+        mass = jnp.pad(mass, (0, npad))
+        valid = jnp.pad(valid, (0, npad))
+        acc_old_mag = jnp.pad(acc_old_mag, (0, npad))
+
+    hi, lo, perm = sort_by_morton32(ipos, valid)
+    ipos_s = ipos[perm]
+    mass_s = mass[perm]
+    valid_s = valid[perm]
+
+    tree = build_tree32(hi, lo, ipos_s, mass_s, valid_s, leaf_max,
+                        max_level, node_cap, group_max=G)
+    pos_box = ipos_s.astype(jnp.float32) * jnp.float32(2.0 ** -32)
+
+    amag_s = acc_old_mag[perm]
+    tpos, gc, gh, amin, active = make_block_groups(
+        pos_box, valid_s, amag_s, G)
+    aold = err_tol_force_acc * amin / g_over_box2
+
+    acc0, pot0, leaf_idx, nl, walk_ovf = traverse_fused(
+        tree, tpos, gc, gh, aold, active, walk_cfg,
+        rcut_box, theta2, use_bh, rs_inv_box, h_inv_box,
+        with_potential=with_potential)
+    ntot = n + npad
+    nleaf_cap = int(walk_cfg.nleaf_frac * ntot) + 256
+    sr_cap = int(walk_cfg.sr_frac * ntot) + 256
+    leaf_src = make_leaf_sources(tree, pos_box, mass_s, valid_s,
+                                 nleaf_cap, sr_cap, walk_cfg.sub)
+    acc_box, pot_box, src_ovf = evaluate_leaves(
+        tree, leaf_src, tpos, leaf_idx, nl,
+        acc0, pot0, walk_cfg, rs_inv_box, h_inv_box,
+        rcut_box, with_potential=with_potential)
+
+    # unsort by scattering through perm (direct inverse, no argsort)
+    acc = jnp.zeros((n + npad, 3), jnp.float32).at[perm].set(
+        acc_box * jnp.float32(g_over_box2))[:n]
+    acc = jnp.where(valid[:n, None], acc, 0.0)
+    pot = jnp.zeros((n + npad,), jnp.float32).at[perm].set(pot_box)[:n]
+    overflow = (tree.overflow | leaf_src[3] | jnp.any(walk_ovf)
+                | jnp.any(src_ovf))
+    return TreeForceResult(accel=acc, potential=pot, overflow=overflow)
 
 
 @dataclass
 class TreeGravity:
+    """Stateful convenience wrapper around :func:`tree_force` holding
+    the reference parameterization; see gravshort-tree.c:97-140."""
     boxsize: float
     nmesh: int
     asmth: float = 1.5
@@ -41,6 +121,7 @@ class TreeGravity:
             from dataclasses import replace as dc_replace
             self.walk_cfg = dc_replace(
                 self.walk_cfg, leaf_eval_max=self.tree_cfg.leaf_max)
+        self.last_overflow = None
 
     # geometry in box units
     @property
@@ -55,80 +136,39 @@ class TreeGravity:
     def h_inv_box(self):
         return self.boxsize / max(self.softening, 1e-30)
 
+    def force_kwargs(self, n, use_bh=None):
+        """Static+scalar kwargs for tree_force at capacity n."""
+        if use_bh is None:
+            use_bh = self._use_bh_now
+        max_level = min(self.tree_cfg.max_level, 16)
+        return dict(
+            leaf_max=self.tree_cfg.leaf_max, max_level=max_level,
+            node_cap=int(self.tree_cfg.node_factor * n) + 64,
+            group_size=self.tree_cfg.group_max,
+            walk_cfg=self.walk_cfg,
+            rcut_box=float(np.float32(self.rcut_box)),
+            theta2=float(np.float32(
+                self.bh_opening_angle ** 2 if use_bh
+                else self.max_bh_opening_angle ** 2)),
+            use_bh=bool(use_bh),
+            err_tol_force_acc=float(np.float32(self.err_tol_force_acc)),
+            rs_inv_box=float(np.float32(self.rs_inv_box)),
+            h_inv_box=float(np.float32(self.h_inv_box)),
+            g_over_box2=float(np.float32(self.G / self.boxsize ** 2)),
+            with_potential=self.with_potential,
+        )
+
     def compute(self, pdata, return_potential=False):
         """Short-range accel (internal units) for all particles."""
-        # keys: invalid particles pushed to the end
-        keys = morton_key(pdata.ipos)
-        keys = jnp.where(pdata.valid, keys, ~jnp.uint64(0))
-        perm = jnp.argsort(keys)
-        keys_s = keys[perm]
-        ipos_s = pdata.ipos[perm]
-        mass_s = pdata.mass[perm]
-        valid_s = pdata.valid[perm]
-
-        n = int(pdata.capacity)
-        cap = int(self.tree_cfg.node_factor * n) + 64
-        tree = build_tree(keys_s, ipos_s, mass_s, valid_s,
-                          self.tree_cfg.leaf_max,
-                          self.tree_cfg.max_level, cap,
-                          group_max=self.tree_cfg.group_max)
-
-        pos_box = ipos_s.astype(jnp.float32) * jnp.float32(2.0 ** -32)
-
-        # per-particle |a_old| for the relative opening criterion
-        acc_old = (pdata.grav_accel + pdata.grav_pm)[perm]
+        acc_old = pdata.grav_accel + pdata.grav_pm
         amag = jnp.sqrt(jnp.sum(acc_old * acc_old, axis=-1))
-        group_cap = (8 * n) // self.tree_cfg.group_max + 64
-        while True:
-            leaf_nodes, gc, gh, amin, nleaves, lg_ovf = \
-                make_target_groups(
-                    tree, pos_box, jnp.where(valid_s, amag, jnp.inf),
-                    min(group_cap, n + 64), self.tree_cfg.group_max)
-            if not bool(lg_ovf) or group_cap >= n + 64:
-                break
-            group_cap *= 2  # a group holds >= 1 particle
-        aold = (self.err_tol_force_acc * amin
-                * self.boxsize ** 2 / self.G)
-
-        use_bh = self._use_bh_now
-        theta2 = (self.bh_opening_angle ** 2 if use_bh
-                  else self.max_bh_opening_angle ** 2)
-        want_pot = self.with_potential or return_potential
-        # restartable walk: double the leaf-list capacity on overflow
-        # (the export-buffer-full retry analog, treewalk.c:801-902).
-        # Multipole contributions are evaluated inside the walk (fused);
-        # only the direct-interaction leaf list is recorded.
-        wcfg = self.walk_cfg
-        for attempt in range(4):
-            acc0, pot0, leaf_idx, nl, ovf = traverse_fused(
-                tree, pos_box, leaf_nodes, gc, gh, aold, wcfg,
-                self.tree_cfg.group_max,
-                jnp.float32(self.rcut_box), jnp.float32(theta2),
-                use_bh, jnp.float32(self.rs_inv_box),
-                jnp.float32(self.h_inv_box), with_potential=want_pot)
-            if not bool(jnp.any(ovf)):
-                break
-            from dataclasses import replace as dc_replace
-            wcfg = dc_replace(
-                wcfg, leaf_list_max=wcfg.leaf_list_max * 2,
-                group_batch=max(16, wcfg.group_batch // 2))
-        self.walk_cfg = wcfg
-        acc_box, pot_box = evaluate_leaves(
-            tree, pos_box, mass_s, valid_s, leaf_nodes, leaf_idx, nl,
-            acc0, pot0, wcfg, self.tree_cfg.group_max,
-            jnp.float32(self.rs_inv_box),
-            jnp.float32(self.h_inv_box), jnp.float32(self.rcut_box),
-            with_potential=want_pot)
-
-        # back to original order; internal units
-        inv = jnp.argsort(perm)
-        acc = acc_box[inv] * jnp.float32(self.G / self.boxsize ** 2)
-        acc = jnp.where(pdata.valid[:, None], acc, 0.0)
+        kw = self.force_kwargs(int(pdata.capacity))
+        kw["with_potential"] = self.with_potential or return_potential
+        res = tree_force(pdata.ipos, pdata.mass, pdata.valid, amag, **kw)
         if self.tree_use_bh > 1:
             self._use_bh_now = False  # BH on first call only
-        self.last_overflow = ovf
-        self.last_tree = tree
+        self.last_overflow = res.overflow
         if return_potential:
-            pot = pot_box[inv] * jnp.float32(self.G / self.boxsize)
-            return acc, pot
-        return acc
+            pot = res.potential * jnp.float32(self.G / self.boxsize)
+            return res.accel, pot
+        return res.accel

@@ -2,14 +2,14 @@
 
 TPU-native replacement for the reference's MPI domain machinery
 (domain.c, exchange.c): particle arrays are sharded over a 1-D
-`jax.sharding.Mesh` axis ("shard"); the PM mesh is sharded over its
-x-axis.  XLA/GSPMD inserts the ICI collectives (reduce-scatter for the
-CIC deposit, all-gathers around the FFT) — there is no explicit
-communicator management.
+`jax.sharding.Mesh` axis; the PM mesh is sharded over its x-axis.
 
-Domain balance: particles are kept Morton-sorted, so an equal-count
-split over shards is a contiguous space-filling-curve decomposition —
-the analog of domain_assign_topleaves_balanced with equal particle cost.
+Two levels of the stack live in parallel/:
+* explicit shard_map kernels — pencil FFT (pfft.py), slab exchange +
+  ghosts (decomp.py), and the full sharded TreePM step (treepm.py);
+* this module: mesh/bind helpers plus a GSPMD-annotated PM-only step
+  (XLA chooses the collectives from sharding constraints) used as a
+  cross-check against the explicit pencil path.
 """
 
 from functools import partial
@@ -26,8 +26,6 @@ def make_sim_mesh(devices=None, axis="shard"):
 
 def shard_particles(pdata, mesh, axis="shard"):
     """Place particle arrays row-sharded over the mesh axis."""
-    sharding = NamedSharding(mesh, P(axis))
-
     def put(x):
         if x.ndim >= 1 and x.shape[0] % mesh.size == 0:
             return jax.device_put(x, NamedSharding(
@@ -38,14 +36,14 @@ def shard_particles(pdata, mesh, axis="shard"):
 
 
 def sharded_pm_step(mesh, nmesh, boxsize, gconst, asmth, axis="shard"):
-    """Build a jitted sharded KDK step closure: one full PM gravity +
-    kick-drift-kick over the device mesh.
-
-    Shardings: particles row-sharded; the FFT mesh sharded over x-slabs
-    between deposit and FFT (GSPMD chooses the collectives).
-    """
-    from ..ops.cic import cic_deposit, cic_readout
-    from ..pm.gravity import _kmodes, _deconv, _diff_kernel
+    """GSPMD-annotated PM KDK step (particles row-sharded, FFT mesh
+    slab-sharded; XLA inserts the collectives).  The k-space math is
+    the shared single-chip transfer (pm/gravity.py) so this cannot
+    drift from the real kernel; the explicit pencil-FFT path lives in
+    parallel/pfft.py."""
+    from ..ops.cic import cic_deposit, cic_readout_vec
+    from ..pm.gravity import (_kmodes, _deconv, potential_transfer_fac,
+                              force_transfer_fac)
 
     pspec = NamedSharding(mesh, P(axis))
     pspec2 = NamedSharding(mesh, P(axis, None))
@@ -61,21 +59,14 @@ def sharded_pm_step(mesh, nmesh, boxsize, gconst, asmth, axis="shard"):
         kx, ky, kz = _kmodes(nmesh)
         k2 = kx * kx + ky * ky + kz * kz
         deconv = _deconv(nmesh)
-        asmth2 = (2.0 * np.pi * asmth / nmesh) ** 2
-        k2safe = jnp.where(k2 == 0, 1.0, k2)
-        fac = (-gconst * float(nmesh) ** 3 / (np.pi * boxsize)
-               * jnp.exp(-k2 * asmth2) / k2safe * deconv * deconv)
-        fac = jnp.where(k2 == 0, 0.0, fac)
-        pot_k = rho_k * fac
-        accel = []
+        pot_k = rho_k * potential_transfer_fac(
+            k2, deconv, nmesh, boxsize, gconst, asmth)
+        meshes = []
         for kk in (kx, ky, kz):
-            w_ = kk * (2.0 * np.pi / nmesh)
-            force_mesh = jnp.fft.irfftn(
-                pot_k * (1j * (-_diff_kernel(w_) * (nmesh / boxsize))))
-            force_mesh = jax.lax.with_sharding_constraint(force_mesh,
-                                                          mspec)
-            accel.append(cic_readout(force_mesh, ipos))
-        accel = jnp.stack(accel, axis=-1)
+            fm = jnp.fft.irfftn(
+                pot_k * (1j * force_transfer_fac(kk, nmesh, boxsize)))
+            meshes.append(jax.lax.with_sharding_constraint(fm, mspec))
+        accel = cic_readout_vec(jnp.stack(meshes, axis=-1), ipos)
         # KDK pieces
         vel = vel + accel * jnp.float32(dkick)
         disp = vel * (jnp.float32(ddrift) * inv_box)

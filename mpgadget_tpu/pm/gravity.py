@@ -28,7 +28,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.cic import cic_deposit, cic_readout
+from ..ops.cic import cic_deposit, cic_readout, cic_readout_vec
 from ..utils import constants as C
 
 
@@ -96,6 +96,56 @@ def _diff_kernel(w):
     return (8.0 * jnp.sin(w) - jnp.sin(2.0 * w)) / 6.0
 
 
+def _bin_reduce(kint_flat, nbins, *vals):
+    """Per-bin sums of each flat vals array, grouped by kint_flat.
+
+    TPU-native replacement for bincount/scatter-add (slow element
+    scatters on TPU): chunks of an on-the-fly one-hot matrix are
+    contracted against the values on the MXU, so the whole reduction
+    is a scan of small matmuls.  kint == nbins rows are dropped.
+    """
+    K = kint_flat.shape[0]
+    CH = min(131072, K)
+    pad = (-K) % CH
+    kint_p = jnp.pad(kint_flat, (0, pad), constant_values=nbins)
+    vals_p = [jnp.pad(v.astype(jnp.float32), (0, pad)) for v in vals]
+    nch = (K + pad) // CH
+    iota = jnp.arange(nbins + 1, dtype=kint_flat.dtype)
+
+    def body(acc, xs):
+        kc = xs[0]
+        oh = (kc[:, None] == iota[None, :]).astype(jnp.float32)
+        return tuple(a + vc @ oh for a, vc in zip(acc, xs[1:])), None
+
+    init = tuple(jnp.zeros(nbins + 1, jnp.float32) for _ in vals)
+    accs, _ = jax.lax.scan(
+        body, init,
+        tuple(a.reshape(nch, CH) for a in (kint_p, *vals_p)))
+    return [a[:nbins] for a in accs]
+
+
+def potential_transfer_fac(k2, deconv, nmesh, boxsize, gconst, asmth):
+    """Green's function x Gaussian split x CIC deconv^2, gravpm.c:384-452.
+
+    k2 in integer mode units.  Includes the nmesh^3 factor cancelling
+    the 1/N^3 of a normalized inverse FFT.  Shared by the single-chip
+    kernel and the sharded pencil FFT (parallel/pfft.py) so the k-space
+    math cannot drift between them.
+    """
+    asmth2 = (2.0 * np.pi * asmth / nmesh) ** 2
+    k2safe = jnp.where(k2 == 0, 1.0, k2)
+    fac = (-gconst * float(nmesh) ** 3 / (np.pi * boxsize)
+           * jnp.exp(-k2 * asmth2) / k2safe * deconv * deconv)
+    return jnp.where(k2 == 0, 0.0, fac)
+
+
+def force_transfer_fac(k, nmesh, boxsize):
+    """i-multiplier for the force along one axis (applied as *1j*fac):
+    4th-order super-Lanczos finite difference, gravpm.c:458-499."""
+    w = k * (2.0 * np.pi / nmesh)
+    return -_diff_kernel(w) * (nmesh / boxsize)
+
+
 @partial(jax.jit, static_argnames=("nmesh", "compute_potential", "nbins"))
 def _pm_force_kernel(ipos, weights, nmesh, boxsize, gconst, asmth,
                      nu_logk=None, nu_fac=None, compute_potential=True,
@@ -130,34 +180,26 @@ def _pm_force_kernel(ipos, weights, nmesh, boxsize, gconst, asmth,
         jnp.maximum(k2, 1e-30))).astype(jnp.int32)
     kint = jnp.where(k2 == 0, nbins, kint)  # drop the zero mode
     keff = jnp.sqrt(k2)
-    flat = kint.ravel()
-    p_bins = jnp.zeros(nbins + 1).at[flat].add((w * m2).ravel())[:nbins]
-    n_bins = jnp.zeros(nbins + 1).at[flat].add(w.ravel())[:nbins]
-    k_bins = jnp.zeros(nbins + 1).at[flat].add((w * keff).ravel())[:nbins]
+    p_bins, n_bins, k_bins = _bin_reduce(
+        kint.ravel(), nbins, (w * m2).ravel(), w.ravel(),
+        (w * keff).ravel())
     norm = rho_k[0, 0, 0].real ** 2
 
     # -- potential transfer --------------------------------------------
-    asmth2 = (2.0 * np.pi * asmth / nmesh) ** 2
-    k2safe = jnp.where(k2 == 0, 1.0, k2)
-    pot_fac = (-gconst * float(nmesh) ** 3 / (np.pi * boxsize)
-               * jnp.exp(-k2 * asmth2) / k2safe * deconv * deconv)
-    pot_fac = jnp.where(k2 == 0, 0.0, pot_fac)
-    pot_k = rho_k * pot_fac
+    pot_k = rho_k * potential_transfer_fac(k2, deconv, nmesh, boxsize,
+                                           gconst, asmth)
 
     out_pot = None
     if compute_potential:
         pot_mesh = jnp.fft.irfftn(pot_k)
         out_pot = cic_readout(pot_mesh, ipos)
 
-    # -- force transfer per axis ---------------------------------------
-    accel = []
+    # -- force transfer per axis; single stacked readout pass ----------
+    meshes = []
     for axis, kk in enumerate((kx, ky, kz)):
-        w_ = kk * (2.0 * np.pi / nmesh)
-        fac = -_diff_kernel(w_) * (nmesh / boxsize)
-        force_k = pot_k * (1j * fac)
-        force_mesh = jnp.fft.irfftn(force_k)
-        accel.append(cic_readout(force_mesh, ipos))
-    accel = jnp.stack(accel, axis=-1)
+        force_k = pot_k * (1j * force_transfer_fac(kk, nmesh, boxsize))
+        meshes.append(jnp.fft.irfftn(force_k))
+    accel = cic_readout_vec(jnp.stack(meshes, axis=-1), ipos)
 
     return accel, out_pot, (p_bins, n_bins, k_bins, norm)
 
@@ -216,10 +258,9 @@ def _measure_power_kernel(ipos, weights, nmesh, nbins=None):
         jnp.maximum(k2, 1e-30))).astype(jnp.int32)
     kint = jnp.where(k2 == 0, nbins, kint)
     keff = jnp.sqrt(k2)
-    flat = kint.ravel()
-    p_bins = jnp.zeros(nbins + 1).at[flat].add((w * m2).ravel())[:nbins]
-    n_bins = jnp.zeros(nbins + 1).at[flat].add(w.ravel())[:nbins]
-    k_bins = jnp.zeros(nbins + 1).at[flat].add((w * keff).ravel())[:nbins]
+    p_bins, n_bins, k_bins = _bin_reduce(
+        kint.ravel(), nbins, (w * m2).ravel(), w.ravel(),
+        (w * keff).ravel())
     norm = rho_k[0, 0, 0].real ** 2
     return p_bins, n_bins, k_bins, norm
 

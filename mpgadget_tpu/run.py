@@ -320,12 +320,31 @@ class Simulation:
                 # correction is only added on output (petaio stores
                 # Potential on PM steps, gravshort-tree.c:137)
                 with_potential=False)
-        accel = self._tree_grav.compute(self.pdata)
-        self.pdata = self.pdata.replace(grav_accel=accel)
-        if bool(jnp.any(self._tree_grav.last_overflow)):
+        # restartable walk: double capacities on overflow (the export-
+        # buffer-full retry analog, treewalk.c:801-902).  The retry
+        # recompiles, so steady-state configs should size WalkConfig to
+        # avoid it; the overflow check syncs only on the retry path.
+        from dataclasses import replace as dc_replace
+        for attempt in range(6):
+            accel = self._tree_grav.compute(self.pdata)
+            if not bool(jnp.any(self._tree_grav.last_overflow)):
+                break
+            wc = self._tree_grav.walk_cfg
+            self._tree_grav.walk_cfg = dc_replace(
+                wc, leaf_list_max=wc.leaf_list_max * 2,
+                src_cap=wc.src_cap * 2,
+                nleaf_frac=min(1.0, wc.nleaf_frac * 2),
+                sr_frac=min(1.0, wc.sr_frac * 2))
+            self._tree_grav.tree_cfg = dc_replace(
+                self._tree_grav.tree_cfg,
+                node_factor=min(
+                    2.0, self._tree_grav.tree_cfg.node_factor * 2))
+        else:
             raise RuntimeError(
-                "tree interaction list overflow: increase "
-                "WalkConfig.node_list_max/leaf_list_max")
+                "tree walk capacity overflow after retries: increase "
+                "WalkConfig.leaf_list_max/src_cap or "
+                "TreeConfig.node_factor")
+        self.pdata = self.pdata.replace(grav_accel=accel)
 
     # -- SPH -----------------------------------------------------------
 

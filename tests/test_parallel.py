@@ -1,0 +1,225 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh.
+
+Covers the SURVEY §2.2 layer: slab domain exchange (exchange.c analog),
+ghost strips (treewalk export/import analog), pencil FFT (petapm.c
+analog) and the full sharded TreePM step — each checked for numerical
+agreement with the single-device path.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from mpgadget_tpu.parallel.mesh import (make_sim_mesh, shard_particles,
+                                        sharded_pm_step)
+from mpgadget_tpu.parallel.decomp import (exchange_to_slabs,
+                                          ghost_strips, slab_of)
+from mpgadget_tpu.parallel.pfft import pencil_r2c, pencil_c2r
+from mpgadget_tpu.parallel.treepm import (make_sim_mesh as tree_mesh,
+                                          sharded_treepm_step)
+
+NDEV = 8
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    devs = jax.devices("cpu")[:NDEV]
+    assert len(devs) == NDEV
+    return Mesh(np.array(devs), ("x",))
+
+
+def test_pencil_fft_roundtrip_matches_rfftn(mesh8):
+    """Pencil r2c under shard_map == jnp.fft.rfftn (petapm.c:278-320)."""
+    nmesh = 16
+    rng = np.random.RandomState(0)
+    vol = rng.randn(nmesh, nmesh, nmesh).astype(np.float32)
+
+    def fwd(local):
+        return pencil_r2c(local, "x")
+
+    def bwd(pencil):
+        return pencil_c2r(pencil, "x")
+
+    fwd_s = jax.jit(shard_map(
+        fwd, mesh=mesh8, in_specs=P("x"), out_specs=P(None, "x")))
+    bwd_s = jax.jit(shard_map(
+        bwd, mesh=mesh8, in_specs=P(None, "x"), out_specs=P("x")))
+
+    pencil = np.asarray(fwd_s(vol))
+    ref = np.asarray(jnp.fft.rfftn(jnp.asarray(vol)))
+    assert np.allclose(pencil, ref, rtol=1e-4, atol=1e-4)
+
+    back = np.asarray(bwd_s(jnp.asarray(pencil)))
+    assert np.allclose(back, vol, rtol=1e-4, atol=1e-5)
+
+
+def test_exchange_to_slabs_routes_and_conserves(mesh8):
+    """domain_exchange analog: every row lands on its x-slab owner and
+    mass/ids are conserved (exchange.c:105-191)."""
+    n_loc = 64
+    n = n_loc * NDEV
+    rng = np.random.RandomState(1)
+    ipos = rng.randint(0, 2 ** 32, (n, 3)).astype(np.uint32)
+    ids = np.arange(n, dtype=np.int32)
+    valid = rng.rand(n) < 0.75
+    mass = rng.rand(n).astype(np.float32)
+
+    def run(ipos, ids, mass, valid):
+        (ipos2, ids2, mass2), valid2, ovf = exchange_to_slabs(
+            (ipos, ids, mass), ipos, valid, "x", 3, bucket_cap=n_loc)
+        own = slab_of(ipos2, 3)
+        me = jax.lax.axis_index("x")
+        misrouted = jnp.sum((valid2 & (own != me)).astype(jnp.int32))
+        return (ipos2, ids2, mass2, valid2,
+                jax.lax.psum(ovf.astype(jnp.int32), "x"),
+                jax.lax.psum(misrouted, "x"))
+
+    run_s = jax.jit(shard_map(
+        run, mesh=mesh8,
+        in_specs=(P("x"), P("x"), P("x"), P("x")),
+        out_specs=(P("x"), P("x"), P("x"), P("x"), P(), P())))
+    ipos2, ids2, mass2, valid2, ovf, misrouted = run_s(
+        jnp.asarray(ipos), jnp.asarray(ids), jnp.asarray(mass),
+        jnp.asarray(valid))
+
+    assert not bool(np.any(np.asarray(ovf))), "exchange overflow"
+    assert int(misrouted) == 0
+    v2 = np.asarray(valid2)
+    got_ids = np.sort(np.asarray(ids2)[v2])
+    assert np.array_equal(got_ids, np.sort(ids[valid]))
+    assert np.isclose(float(np.sum(np.asarray(mass2)[v2])),
+                      float(np.sum(mass[valid])), rtol=1e-6)
+
+
+def test_ghost_strips_cover_rcut_neighbors(mesh8):
+    """Ghost rows == exactly the neighbor particles within rcut of the
+    slab faces (the pseudo-particle/export analog)."""
+    n_loc = 32
+    n = n_loc * NDEV
+    rng = np.random.RandomState(2)
+    # place each shard's particles inside its own slab
+    x = np.concatenate([
+        ((s + rng.rand(n_loc)) / NDEV * 2 ** 32).astype(np.uint32)
+        for s in range(NDEV)])
+    ipos = np.stack([x, rng.randint(0, 2 ** 32, n).astype(np.uint32),
+                     rng.randint(0, 2 ** 32, n).astype(np.uint32)],
+                    axis=1)
+    ids = np.arange(n, dtype=np.int32)
+    valid = np.ones(n, bool)
+    rcut_box = 0.03
+
+    def run(ipos, ids, valid):
+        (g_ids,), g_valid, ovf = ghost_strips(
+            (ids,), ipos, valid, "x", 3, rcut_box, ghost_cap=n_loc)
+        return g_ids, g_valid, jax.lax.psum(ovf.astype(jnp.int32), "x")
+
+    run_s = jax.jit(shard_map(
+        run, mesh=mesh8, in_specs=(P("x"), P("x"), P("x")),
+        out_specs=(P("x"), P("x"), P())))
+    g_ids, g_valid, ovf = run_s(jnp.asarray(ipos), jnp.asarray(ids),
+                                jnp.asarray(valid))
+    assert not bool(np.any(np.asarray(ovf)))
+
+    g_ids = np.asarray(g_ids).reshape(NDEV, -1)
+    g_valid = np.asarray(g_valid).reshape(NDEV, -1)
+    xf = x.astype(np.float64) / 2 ** 32
+    for s in range(NDEV):
+        lo, hi = s / NDEV, (s + 1) / NDEV
+        dl = np.minimum(np.abs(xf - lo), 1 - np.abs(xf - lo))
+        dh = np.minimum(np.abs(xf - hi), 1 - np.abs(xf - hi))
+        own = slab_of(jnp.asarray(ipos), 3) == s
+        want = set(ids[~np.asarray(own)
+                       & ((dl < rcut_box) | (dh < rcut_box))])
+        got = set(g_ids[s][g_valid[s]])
+        assert got == want, f"shard {s}: {got ^ want}"
+
+
+def test_sharded_pm_matches_single_chip(mesh8):
+    """GSPMD PM step accel == single-chip _pm_force_kernel accel."""
+    from mpgadget_tpu.pm.gravity import _pm_force_kernel
+    nmesh = 16
+    n = 512
+    boxsize = 1000.0
+    rng = np.random.RandomState(3)
+    ipos = jnp.asarray(rng.randint(0, 2 ** 32, (n, 3)), jnp.uint32)
+    mass = jnp.ones(n, jnp.float32)
+    vel = jnp.zeros((n, 3), jnp.float32)
+
+    acc_ref, _, _ = _pm_force_kernel(ipos, mass, nmesh, boxsize,
+                                     43007.1, 1.5,
+                                     compute_potential=False)
+
+    mesh = make_sim_mesh(jax.devices("cpu")[:NDEV], axis="shard")
+    step = sharded_pm_step(mesh, nmesh, boxsize, 43007.1, 1.5,
+                           axis="shard")
+    ipos_s, vel_s, mass_s = shard_particles((ipos, vel, mass), mesh)
+    ipos2, vel2 = step(ipos_s, vel_s, mass_s, jnp.float32(1.0),
+                       jnp.float32(0.0))
+    acc = np.asarray(vel2)      # dkick=1, vel0=0
+    assert np.allclose(acc, np.asarray(acc_ref), rtol=1e-3, atol=1e-5)
+
+
+def test_sharded_treepm_step_matches_single_device(mesh8):
+    """Full sharded TreePM step (exchange + ghosts + local trees +
+    pencil PM) reproduces the single-device tree+PM accelerations."""
+    from mpgadget_tpu.gravity.treepm import TreeGravity, tree_force
+    from mpgadget_tpu.pm.gravity import _pm_force_kernel
+
+    nmesh = 16
+    boxsize = 1000.0
+    n_local = 128
+    n = n_local * NDEV
+    rng = np.random.RandomState(4)
+    ipos_np = rng.randint(0, 2 ** 32, (n, 3)).astype(np.uint32)
+    ipos = jnp.asarray(ipos_np)
+    mass = jnp.ones(n, jnp.float32)
+    valid = jnp.asarray(np.arange(n) % n_local < n_local // 2)
+    vel = jnp.zeros((n, 3), jnp.float32)
+    amag = jnp.zeros(n, jnp.float32)
+
+    tg = TreeGravity(boxsize=boxsize, nmesh=nmesh, asmth=1.0, rcut=1.0,
+                     G=43007.1, softening=boxsize / 50.0,
+                     tree_use_bh=1, bh_opening_angle=0.3,
+                     with_potential=False)
+
+    # single-device reference on the valid rows
+    kw1 = tg.force_kwargs(n)
+    kw1["with_potential"] = False
+    res = tree_force(ipos, mass, valid, amag, **kw1)
+    acc_pm, _, _ = _pm_force_kernel(ipos, mass * valid, nmesh, boxsize,
+                                    43007.1, 1.0,
+                                    compute_potential=False)
+    acc_ref = np.asarray(res.accel + acc_pm)
+
+    mesh = tree_mesh(jax.devices("cpu")[:NDEV])
+    tree_kwargs = tg.force_kwargs(n_local + 2 * max(256, n_local // 4))
+    tree_kwargs["with_potential"] = False
+    step = sharded_treepm_step(
+        mesh, nmesh=nmesh, boxsize=boxsize, gconst=43007.1, asmth=1.0,
+        rcut=1.0, softening=boxsize / 50.0, err_tol_force_acc=0.002,
+        n_local=n_local, tree_kwargs=tree_kwargs)
+    parts = shard_particles((ipos, vel, mass, valid, amag), mesh,
+                            axis="x")
+    ipos2, vel2, mass2, valid2, amag2, ovf = step(
+        *parts, jnp.float32(1.0), jnp.float32(0.0))
+    assert not bool(ovf)
+
+    # rows moved between shards: match particles by position key
+    def keyed(ip, acc, ok):
+        ip, acc = np.asarray(ip), np.asarray(acc)
+        order = np.lexsort((ip[:, 2], ip[:, 1], ip[:, 0]))
+        sel = np.asarray(ok)[order]
+        return ip[order][sel], acc[order][sel]
+
+    ip_r, acc_r = keyed(ipos, acc_ref, np.asarray(valid))
+    ip_s, acc_s = keyed(ipos2, np.asarray(vel2), np.asarray(valid2))
+    assert np.array_equal(ip_r, ip_s), "particles lost in exchange"
+    denom = np.linalg.norm(acc_r, axis=1) + 1e-8
+    rel = np.linalg.norm(acc_s - acc_r, axis=1) / denom
+    # local trees differ from the global tree near slab faces (node
+    # geometry drives opening): demand close agreement, not identity
+    assert np.percentile(rel, 95) < 2e-2, np.percentile(rel, 95)
+    assert np.max(rel) < 0.2, np.max(rel)

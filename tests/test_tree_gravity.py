@@ -118,8 +118,8 @@ def test_shortrange_tree_vs_pairwise(clustered):
     nmesh = 32
     tg = TreeGravity(boxsize=box, nmesh=nmesh, asmth=1.5, rcut=4.5,
                      G=1.0, softening=box / 200.0,
-                     walk_cfg=WalkConfig(node_list_max=2048,
-                                         leaf_list_max=1024,
+                     walk_cfg=WalkConfig(leaf_list_max=1024,
+                                         src_cap=8192,
                                          group_batch=64),
                      tree_use_bh=1, bh_opening_angle=0.175)
     acc_tree = np.asarray(tg.compute(pdata))
@@ -152,8 +152,7 @@ def test_shortrange_window_cutoff():
         np.array([1, 2]), box)
     tg = TreeGravity(boxsize=box, nmesh=32, asmth=1.5, rcut=4.5, G=1.0,
                      softening=1.0, tree_use_bh=1,
-                     walk_cfg=WalkConfig(node_list_max=64,
-                                         leaf_list_max=64))
+                     walk_cfg=WalkConfig(leaf_list_max=64, src_cap=64))
     acc = np.asarray(tg.compute(pdata))
     # separation 700 > rcut = 4.5*1.5*1000/32 = 211 -> zero force
     assert np.all(np.abs(acc) < 1e-12)
