@@ -42,13 +42,18 @@ class TreeForceResult:
 def tree_force(ipos, mass, valid, acc_old_mag, *, leaf_max, max_level,
                node_cap, group_size, walk_cfg, rcut_box,
                theta2, use_bh, err_tol_force_acc, rs_inv_box, h_inv_box,
-               g_over_box2, with_potential):
+               g_over_box2, with_potential, target_active=None):
     """Short-range tree force for all particles, fully on-device.
 
     acc_old_mag: |a_old| per particle in internal units (relative
     opening criterion, gravshort-tree.c:221-240); geometry internally
     in box units, result scaled by g_over_box2 = G/box^2 (and G/box
     for the potential).
+
+    target_active: optional bool[N] — only blocks containing an active
+    particle are walked (hierarchical-timebin stepping, the active-set
+    analog of timestep.c:298); inactive targets get zero accel and the
+    caller keeps their old values.  All valid particles remain sources.
     """
     n = ipos.shape[0]
     G = group_size
@@ -58,6 +63,8 @@ def tree_force(ipos, mass, valid, acc_old_mag, *, leaf_max, max_level,
         mass = jnp.pad(mass, (0, npad))
         valid = jnp.pad(valid, (0, npad))
         acc_old_mag = jnp.pad(acc_old_mag, (0, npad))
+        if target_active is not None:
+            target_active = jnp.pad(target_active, (0, npad))
 
     hi, lo, perm = sort_by_morton32(ipos, valid)
     ipos_s = ipos[perm]
@@ -71,6 +78,9 @@ def tree_force(ipos, mass, valid, acc_old_mag, *, leaf_max, max_level,
     amag_s = acc_old_mag[perm]
     tpos, gc, gh, amin, active = make_block_groups(
         pos_box, valid_s, amag_s, G)
+    if target_active is not None:
+        act_s = (valid_s & target_active[perm]).reshape(-1, G)
+        active = active & jnp.any(act_s, axis=1)
     aold = err_tol_force_acc * amin / g_over_box2
 
     acc0, pot0, leaf_idx, nl, walk_ovf = traverse_fused(
@@ -158,13 +168,16 @@ class TreeGravity:
             with_potential=self.with_potential,
         )
 
-    def compute(self, pdata, return_potential=False):
-        """Short-range accel (internal units) for all particles."""
+    def compute(self, pdata, return_potential=False,
+                target_active=None):
+        """Short-range accel (internal units) for all particles (or
+        the active subset; inactive rows return zero)."""
         acc_old = pdata.grav_accel + pdata.grav_pm
         amag = jnp.sqrt(jnp.sum(acc_old * acc_old, axis=-1))
         kw = self.force_kwargs(int(pdata.capacity))
         kw["with_potential"] = self.with_potential or return_potential
-        res = tree_force(pdata.ipos, pdata.mass, pdata.valid, amag, **kw)
+        res = tree_force(pdata.ipos, pdata.mass, pdata.valid, amag,
+                         target_active=target_active, **kw)
         if self.tree_use_bh > 1:
             self._use_bh_now = False  # BH on first call only
         self.last_overflow = res.overflow

@@ -167,3 +167,35 @@ def read_species(bf: BigFile, ptype: int, header: SnapshotHeader):
     else:
         out["mass"] = np.full(n, header.MassTable[ptype])
     return out
+
+
+def write_neutrino_state(bf: BigFile, state: Dict[str, np.ndarray]):
+    """Embed the neutrino delta_tot history in the snapshot
+    (petaio_save_neutrinos, neutrinos_lra.c:300-360 layout: 'Neutrino'
+    block with Nscale/Nkval/scalefact attrs and Deltas[nk, ia] /
+    DeltaNuInit / kvalue blocks)."""
+    scalefact = np.asarray(state["scalefact"], np.float64)
+    delta_tot = np.asarray(state["delta_tot"], np.float64)   # (ia, nk)
+    nb = bf.create("Neutrino")
+    nb.attrs["Nscale"] = np.asarray([len(scalefact)], np.uint64)
+    nb.attrs["Nkval"] = np.asarray([delta_tot.shape[1]], np.uint64)
+    nb.attrs["scalefact"] = scalefact
+    bf.create_from_array("Neutrino/Deltas",
+                         np.ascontiguousarray(delta_tot.T))
+    bf.create_from_array("Neutrino/DeltaNuInit",
+                         np.asarray(state["delta_nu_init"], np.float64))
+    bf.create_from_array("Neutrino/kvalue",
+                         np.asarray(state["wavenum"], np.float64))
+
+
+def read_neutrino_state(bf: BigFile) -> Dict[str, np.ndarray]:
+    """Inverse of write_neutrino_state (petaio_read_neutrinos)."""
+    nb = bf.open("Neutrino")
+    scalefact = np.asarray(nb.attrs["scalefact"], np.float64)
+    deltas = bf.open("Neutrino/Deltas").read()       # (nk, ia)
+    return {
+        "scalefact": scalefact,
+        "delta_tot": np.ascontiguousarray(np.asarray(deltas).T),
+        "delta_nu_init": bf.open("Neutrino/DeltaNuInit").read(),
+        "wavenum": bf.open("Neutrino/kvalue").read(),
+    }

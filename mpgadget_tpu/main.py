@@ -58,6 +58,7 @@ def build_simulation(paramfile_or_ps, override=None, snapshot=None):
         asmth=ps["Asmth"], snapshot_base=ps["SnapshotFileBase"],
         fast_particle_type=ps["FastParticleType"],
         tree_grav_on=bool(ps["TreeGravOn"]), rcut=ps["TreeRcut"],
+        split_gravity_timesteps=bool(ps["SplitGravityTimestepsOn"]),
         gravity_softening=ps["GravitySoftening"],
         err_tol_force_acc=ps["ErrTolForceAcc"],
         bh_opening_angle=ps["BHOpeningAngle"],
@@ -82,11 +83,31 @@ def build_simulation(paramfile_or_ps, override=None, snapshot=None):
         self_shielding_on=bool(ps["SelfShieldingOn"]),
         photo_ionize_factor=ps["PhotoIonizeFactor"],
         photo_ionization_on=bool(ps["PhotoIonizationOn"]),
+        qso_lightup_on=bool(ps["QSOLightupOn"]),
+        reion_hist_file=ps["ReionHistFile"],
+        qso_min_mass=ps["QSOMinMass"],
+        qso_max_mass=ps["QSOMaxMass"],
+        qso_mean_bubble=ps["QSOMeanBubble"],
+        qso_var_bubble=ps["QSOVarBubble"],
+        qso_finish_frac=ps["QSOHeIIIReionFinishFrac"],
         helium_heat_on=bool(ps["HeliumHeatOn"]),
         helium_heat_thresh=ps["HeliumHeatThresh"],
         helium_heat_amp=ps["HeliumHeatAmp"],
         helium_heat_exp=ps["HeliumHeatExp"],
         starformation_on=bool(ps["StarformationOn"]),
+        metal_return_on=bool(ps["MetalReturnOn"]),
+        metals_sn1a_n0=ps["MetalsSn1aN0"],
+        metals_sph_weighting=ps["MetalsSPHWeighting"],
+        metals_max_ngb_deviation=ps["MetalsMaxNgbDeviation"],
+        part_alloc_factor=ps["PartAllocFactor"],
+        plane_output_list=ps["PlaneOutputList"],
+        plane_resolution=ps["PlaneResolution"],
+        plane_thickness=ps["PlaneThickness"],
+        plane_cut_points=ps["PlaneCutPoints"],
+        plane_normals=ps["PlaneNormals"],
+        plane_nu_correction=bool(ps["PlaneMassiveNuCorrection"]),
+        plane_double_out=bool(ps["PlaneDoubleOut"]),
+        lightcone_on=bool(ps["LightconeOn"]),
         wind_on=bool(ps["WindOn"]),
         sfr_criterion=ps["StarformationCriterion"],
         crit_overdensity=ps["CritOverDensity"],
@@ -110,6 +131,7 @@ def build_simulation(paramfile_or_ps, override=None, snapshot=None):
         wind_thermal_factor=ps["WindThermalFactor"],
         max_wind_free_travel_time=ps["MaxWindFreeTravelTime"],
         random_seed=ps["RandomSeed"],
+        random_particle_offset=ps["RandomParticleOffset"],
         massive_nu_lin_resp_on=bool(ps["MassiveNuLinRespOn"]),
         m_nu=(ps["MNue"], ps["MNum"], ps["MNut"]),
         black_hole_on=bool(ps["BlackHoleOn"]),

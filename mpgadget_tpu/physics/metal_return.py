@@ -1,0 +1,449 @@
+"""Stellar mass & metal return: AGB winds, SNII, SN1a enrichment.
+
+TPU-native rebuild of the reference's metal return subsystem
+(libgadget/metal_return.c:1-1007): each star particle returns mass and
+9 metal species (H, He, C, N, O, Ne, Mg, Si, Fe — metal_tables.h:5) to
+its SPH-kernel gas neighborhood as its stellar population ages.
+
+The stellar-evolution inputs are NOT transcriptions of the reference's
+yield tables: they are compact, independently-written approximations
+built from published fitting formulas and summary yields —
+
+* IMF: Chabrier (2003) log-normal + Salpeter-like high-mass tail.
+* Lifetimes: Raiteri, Villata & Navarro (1996) metallicity-dependent
+  quadratic log-fit (closed-form invertible, TPU-friendly — no table
+  search).
+* AGB (0.85-8 Msun): ejecta = m - m_remnant with the Kalirai et al.
+  (2008) initial-final mass relation; produced He/C/N fractions are a
+  coarse grid shaped on Karakas (2010).
+* SNII (8-40 Msun): smooth power-law approximations to the Kobayashi
+  et al. (2006) Z=0.02 yields; fixed 0.07 Msun Fe per event.
+* SN1a: Maoz, Mannucci & Brandt (2012) t^-1.1 delayed-time
+  distribution; Iwamoto et al. (1999) W7 per-event yields (published
+  constants, also used by the reference).
+
+The per-step integral over dying masses runs as a fixed-order
+Gauss-Legendre quadrature vectorized over all stars (the reference
+uses per-star adaptive GSL integration, metal_return.c:230-360).
+Spreading runs through the shared pair engine in two passes: a star
+Hsml bisection (stellarhsml analog) and a gas<-star kernel-weighted
+scatter implemented as a gather from the gas side (metal_return.c:
+592-705's treewalk, flipped so it is a dense reduction on TPU).
+"""
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..utils import constants as C
+
+NMETALS = 9
+SPECIES = ("H", "He", "C", "N", "O", "Ne", "Mg", "Si", "Fe")
+
+# Iwamoto et al. 1999 (W7 model) per-event SN1a yields in Msun
+# (published constants; zero H/He).
+SN1A_YIELDS = np.array([0.0, 0.0, 4.83e-2, 1.16e-6, 1.43e-1, 4.51e-3,
+                        8.57e-3, 1.53e-1, 7.43e-1], np.float32)
+SN1A_EJECTA = float(SN1A_YIELDS.sum())
+
+MINMASS = 0.1       # IMF lower bound, Msun
+MAXMASS = 40.0      # IMF upper bound (heavier collapse silently)
+AGB_MAX = 8.0
+SNII_MIN = 8.0
+SN1A_INDEX = 1.1    # Maoz+12 DTD slope
+
+
+# -- IMF (Chabrier 2003) ----------------------------------------------
+
+def _chabrier_xi(m):
+    """Number of stars per unit mass interval, unnormalized."""
+    lm = np.log10(m)
+    low = (0.158 / (np.log(10) * m)
+           * np.exp(-0.5 * ((lm - np.log10(0.079)) / 0.69) ** 2))
+    A = (0.158 / np.log(10)
+         * np.exp(-0.5 * (np.log10(1 / 0.079) / 0.69) ** 2))
+    high = A * m ** -2.3
+    return np.where(m < 1.0, low, high)
+
+
+def _imf_mass_norm():
+    m = np.geomspace(MINMASS, MAXMASS, 4096)
+    return np.trapezoid(m * _chabrier_xi(m), m)
+
+
+IMF_MASS_NORM = _imf_mass_norm()    # Msun formed per "IMF unit"
+
+
+def imf_xi(m):
+    """Stars per Msun-formed per unit mass (jnp-safe)."""
+    lm = jnp.log10(m)
+    low = (0.158 / (np.log(10)) / m
+           * jnp.exp(-0.5 * ((lm - np.log10(0.079)) / 0.69) ** 2))
+    A = (0.158 / np.log(10)
+         * np.exp(-0.5 * (np.log10(1 / 0.079) / 0.69) ** 2))
+    high = A * m ** -2.3
+    return jnp.where(m < 1.0, low, high) / IMF_MASS_NORM
+
+
+# -- lifetimes (Raiteri, Villata & Navarro 1996) ----------------------
+
+def _lt_coeffs(zlog):
+    a0 = 10.13 + 0.07547 * zlog - 0.008084 * zlog * zlog
+    a1 = -4.424 - 0.7939 * zlog - 0.1187 * zlog * zlog
+    a2 = 1.262 + 0.3385 * zlog + 0.05417 * zlog * zlog
+    return a0, a1, a2
+
+
+def lifetime_myr(m, z):
+    """Stellar lifetime in Myr for initial mass m (Msun), total
+    metallicity z (clamped to the fit's validity range)."""
+    zlog = jnp.log10(jnp.clip(z, 7e-5, 0.03))
+    a0, a1, a2 = _lt_coeffs(zlog)
+    lm = jnp.log10(jnp.clip(m, 0.08, 120.0))
+    return 10.0 ** (a0 + a1 * lm + a2 * lm * lm) / 1e6
+
+
+def mass_dying(t_myr, z):
+    """Inverse of lifetime_myr: mass whose lifetime is t (closed-form
+    quadratic root — the fit is quadratic in log10 m)."""
+    zlog = jnp.log10(jnp.clip(z, 7e-5, 0.03))
+    a0, a1, a2 = _lt_coeffs(zlog)
+    c = a0 - jnp.log10(jnp.clip(t_myr, 1e-3, 1e8) * 1e6)
+    disc = jnp.maximum(a1 * a1 - 4.0 * a2 * c, 0.0)
+    lm = (-a1 - jnp.sqrt(disc)) / (2.0 * a2)
+    return jnp.clip(10.0 ** lm, 0.0, 1e3)
+
+
+# -- remnants & produced yields ---------------------------------------
+
+def remnant_mass(m):
+    """White dwarf (Kalirai+08 IFMR) below 8 Msun, neutron star /
+    black hole above."""
+    wd = 0.109 * m + 0.394
+    ns = jnp.where(m < 20.0, 1.4, 2.0 + 0.05 * (m - 20.0))
+    return jnp.where(m < SNII_MIN, wd, ns)
+
+
+def produced_fractions(m):
+    """Newly-synthesized mass per species (Msun) for a star of initial
+    mass m — smooth approximations (see module docstring).  Index 0
+    (H) is always zero; production is debited from the unprocessed
+    (mostly H) ejecta in the spread step."""
+    e = jnp.maximum(m - remnant_mass(m), 0.0)
+    agb = m < SNII_MIN
+    # AGB: He always, C from third dredge-up (peak ~3 Msun), N from
+    # hot-bottom burning (m > 4)
+    he_agb = 0.025 * e * jnp.exp(-0.5 * ((m - 3.0) / 2.5) ** 2)
+    c_agb = 0.009 * e * jnp.exp(-0.5 * ((m - 2.8) / 1.0) ** 2)
+    n_agb = 0.008 * e / (1.0 + jnp.exp(-(m - 4.5) * 3.0))
+    # SNII: alpha elements scale steeply with mass
+    dm = jnp.maximum(m - SNII_MIN, 0.0)
+    o_sn = 0.00325 * dm ** 2.3
+    c_sn = 0.085 + 0.0047 * dm
+    n_sn = 0.01 + 0.001 * m
+    ne_sn = 0.35 * o_sn
+    mg_sn = 0.08 * o_sn
+    si_sn = 0.08 + 0.12 * o_sn / (1.0 + 0.35 * o_sn)
+    fe_sn = jnp.full_like(m, 0.074)
+    he_sn = jnp.maximum(0.12 * m - 0.8, 0.0)
+    z = jnp.zeros_like(m)
+    agb_y = [z, he_agb, c_agb, n_agb, z, z, z, z, z]
+    sn_y = [z, he_sn, c_sn, n_sn, o_sn, ne_sn, mg_sn, si_sn, fe_sn]
+    out = [jnp.where(agb, a, s) for a, s in zip(agb_y, sn_y)]
+    # never produce more than the ejecta
+    tot = sum(out[1:], z)
+    scale = jnp.where(tot > 0.9 * e, 0.9 * e / jnp.maximum(tot, 1e-30),
+                      1.0)
+    return [o * scale for o in out], e
+
+
+def sn1a_number(age0_myr, age1_myr, z, n0):
+    """SN1a events per Msun formed in [age0, age1] (sn1a_number
+    analog): t^-1.1 DTD from the 8-Msun lifetime to 13.7 Gyr,
+    normalized to n0 events per Msun over that window (Maoz+12)."""
+    tau8 = lifetime_myr(jnp.float32(8.0), jnp.asarray(z, jnp.float32))
+    tmax = np.float32(13.7e3)
+    s = np.float32(SN1A_INDEX)
+    norm = tau8 ** (1 - s) - tmax ** (1 - s)
+    t0 = jnp.clip(age0_myr, tau8, tmax)
+    t1 = jnp.clip(age1_myr, tau8, tmax)
+    frac = (t0 ** (1 - s) - t1 ** (1 - s)) / jnp.maximum(norm, 1e-30)
+    return n0 * jnp.maximum(frac, 0.0)
+
+
+# -- per-star return over one step ------------------------------------
+
+_glx, _glw = np.polynomial.legendre.leggauss(16)
+GL_X = _glx.astype(np.float32)
+GL_W = _glw.astype(np.float32)
+
+
+@partial(jax.jit, static_argnames=())
+def stellar_return(age0_myr, age1_myr, z, m_init, sn1a_n0):
+    """(mass_return, metals_generated[...,9]) in mass units of m_init
+    for stellar ages [age0, age1] Myr since formation.
+
+    metals_generated[0] (H) is the UNPROCESSED portion's hydrogen
+    share and is filled in by the caller from the star's birth
+    composition; here index 0 stays zero.
+    """
+    age0_myr = jnp.asarray(age0_myr, jnp.float32)
+    age1_myr = jnp.asarray(age1_myr, jnp.float32)
+    z = jnp.asarray(z, jnp.float32)
+    m_init = jnp.asarray(m_init, jnp.float32)
+    m_hi = jnp.minimum(mass_dying(jnp.maximum(age0_myr, 1e-2), z),
+                       MAXMASS).astype(jnp.float32)
+    m_lo = jnp.maximum(mass_dying(jnp.maximum(age1_myr, 1e-2), z),
+                       0.85).astype(jnp.float32)
+    m_lo = jnp.minimum(m_lo, m_hi)
+    half = 0.5 * (m_hi - m_lo)
+    mid = 0.5 * (m_hi + m_lo)
+    nodes = mid[..., None] + half[..., None] * GL_X      # (..., 16)
+    w = half[..., None] * GL_W
+    xi = imf_xi(nodes)
+    prod, ejecta = produced_fractions(nodes)
+    mret = jnp.sum(w * xi * ejecta, axis=-1)
+    gen = [jnp.sum(w * xi * p, axis=-1) for p in prod]
+    # SN1a: all-ejecta events, no remnant debit from the gas mass side
+    nsn1a = sn1a_number(age0_myr, age1_myr, z, sn1a_n0)
+    mret = mret + nsn1a * SN1A_EJECTA
+    gen = [g + nsn1a * y for g, y in zip(gen, SN1A_YIELDS)]
+    gen = jnp.stack(gen, axis=-1)
+    return mret * m_init, gen * m_init[..., None]
+
+
+# -- cosmic age table -------------------------------------------------
+
+class AgeTable:
+    """t(a) in Myr via one quadrature at construction
+    (atime_integ/get_lifetime_in_myr, metal_return.c:150-170 analog);
+    evaluated by interpolation on device.  Internal time units are
+    s/h, hence the /HubbleParam."""
+
+    def __init__(self, hubble_function, units, hubble_h):
+        loga = np.linspace(np.log(1e-3), 0.0, 512)
+        a = np.exp(loga)
+        # dloga / H -> internal time (s/h), then physical Myr
+        integ = 1.0 / np.array([hubble_function(x) for x in a])
+        t = np.concatenate([[0.0], np.cumsum(
+            0.5 * (integ[1:] + integ[:-1]) * np.diff(loga))])
+        sec_per_myr = 86400.0 * 365.25 * 1e6
+        t_myr = t * units.UnitTime_in_s / hubble_h / sec_per_myr
+        self.loga = jnp.asarray(loga, jnp.float32)
+        self.t_myr = jnp.asarray(t_myr, jnp.float32)
+
+    def __call__(self, a):
+        return jnp.interp(jnp.log(jnp.clip(a, 1e-3, 1.0)), self.loga,
+                          self.t_myr)
+
+
+@dataclass(frozen=True)
+class MetalReturnParams:
+    sn1a_n0: float = 1.3e-3        # MetalsSn1aN0: SN1a per Msun formed
+    sph_weighting: int = 1         # MetalsSPHWeighting
+    max_ngb_deviation: float = 5.0
+    ngb: float = 64.0              # target star neighbor count
+    hsml_iter: int = 12
+    group_max: int = 32
+    leaf_list_max: int = 256
+    leaf_eval_max: int = 16
+    # NOTE: Sn1aN0 is per Msun formed and yields are Msun/event, but
+    # the unit conversions cancel in (events/Msun * m[internal] *
+    # Msun/event), so all masses stay in internal units throughout.
+
+
+def metal_return_step(ipos, mass, hsml_gas, gas_rho, is_gas, is_star,
+                      star_hsml, stars, sph_metals, atime0, atime1,
+                      age_table, boxsize, params: MetalReturnParams,
+                      hubble_h=0.7):
+    """One metal-return step.  Returns dict with updated gas mass,
+    gas metals, star mass, star bookkeeping fields, star hsml.
+
+    All inputs aligned full-capacity arrays; masses internal units.
+    """
+    from ..ops import pairs
+    from ..ops.morton import morton_key
+    from ..gravity.tree import build_tree
+    from ..gravity.treewalk import make_target_groups
+    from ..sph import kernels as K
+
+    n = ipos.shape[0]
+    include = is_gas | is_star
+    keys = morton_key(ipos)
+    keys = jnp.where(include, keys, ~jnp.uint64(0))
+    perm = jnp.argsort(keys)
+    inv = jnp.argsort(perm)
+    ipos_s = ipos[perm]
+    include_s = include[perm]
+    pos_box = ipos_s.astype(jnp.float32) * jnp.float32(2.0 ** -32)
+    cap = 2 * n + 64
+    G = params.group_max
+    tree = build_tree(keys[perm], ipos_s, mass[perm], include_s,
+                      16, 18, cap, group_max=G)
+    group_cap = min((8 * n) // G + 64, n + 64)
+    leaf_nodes, gc, gh, _, ngr, govf = make_target_groups(
+        tree, pos_box, jnp.full(n, jnp.inf, jnp.float32), group_cap, G)
+
+    inv_box = 1.0 / boxsize
+    is_gas_s = is_gas[perm]
+    is_star_s = is_star[perm]
+    mass_s = mass[perm]
+    gmass_s = jnp.where(is_gas_s, mass_s, 0.0)
+    grho_s = jnp.where(is_gas_s, gas_rho[perm], 1.0)
+
+    # -- per-star return amounts (host-free, all stars at once) -------
+    m_init = mass + stars.total_mass_returned
+    t_now = age_table(atime1)
+    t_prev = age_table(atime0)
+    t_birth = age_table(jnp.clip(stars.formation_time, 1e-3, 1.0))
+    age0 = jnp.maximum(t_prev - t_birth, 0.0)
+    age1 = jnp.maximum(t_now - t_birth, 0.0)
+    zstar = jnp.clip(stars.metallicity, 0.0, 0.06)
+    # stellar_return works per Msun formed; masses stay internal
+    # because mret/gen scale linearly with m_init
+    mret, gen = stellar_return(age0, age1, zstar, m_init,
+                               params.sn1a_n0)
+    active = is_star & (age1 > age0) & (mret > 0)
+    # cap: never return more than 90% of the current star mass
+    mret = jnp.where(active, jnp.minimum(mret, 0.9 * mass), 0.0)
+    gen = jnp.where(active[:, None], gen, 0.0)
+    # unprocessed ejecta carry the star's birth composition; H (index
+    # 0) and the remainder of each species come from that share
+    produced = jnp.sum(gen, axis=1)
+    unproc = jnp.maximum(mret - produced, 0.0)
+    gen = gen + stars.metals * unproc[:, None]
+
+    # -- pass A: star hsml bisection (stellarhsml analog) -------------
+    hsml_s = jnp.where(is_star_s, star_hsml[perm], 0.0)
+    ktype = K.CUBIC
+    desngb = params.ngb
+    dev = params.max_ngb_deviation
+    left = jnp.zeros(n, jnp.float32)
+    right = jnp.full(n, jnp.inf, jnp.float32)
+    done = ~is_star_s
+
+    def count_pair_fn(dx, r, tmask, smask, tfeat, sfeat):
+        hinv = 1.0 / jnp.maximum(tfeat["hsml"], 1e-30)
+        u = r * hinv
+        inside = (u < 1.0) & (sfeat["isgas"] > 0)
+        wk = jnp.where(inside, K.kernel_wk(u, hinv, ktype), 0.0)
+        ngb = wk * K.NORM_COEFF / jnp.maximum(hinv ** 3, 1e-30)
+        w = (sfeat["gmass"] / jnp.maximum(sfeat["grho"], 1e-30)
+             if params.sph_weighting else jnp.ones_like(wk))
+        return {"ngb": ngb, "norm": wk * w}
+
+    safe_nodes = jnp.minimum(leaf_nodes, tree.capacity - 1)
+    tps = tree.pstart[safe_nodes]
+    out = None
+    for it in range(params.hsml_iter):
+        hsml_box = hsml_s * inv_box
+        offg = jnp.arange(G, dtype=jnp.int32)
+        tidx = jnp.clip(tps[:, None] + offg[None, :], 0, n - 1)
+        tpc = jnp.where(leaf_nodes < tree.n_nodes,
+                        tree.pcount[safe_nodes], 0)
+        tm = offg[None, :] < tpc[:, None]
+        gradius = jnp.max(jnp.where(tm, hsml_box[tidx], 0.0), axis=1)
+        ll = params.leaf_list_max
+        for _attempt in range(4):
+            nbr = pairs.find_neighbors(tree, leaf_nodes, gc, gh,
+                                       gradius, None, ll,
+                                       symmetric=False)
+            if not bool(jnp.any(nbr.overflow)):
+                break
+            ll *= 2
+        out = pairs.pair_reduce(
+            count_pair_fn, nbr, tree, pos_box,
+            {"hsml": hsml_box},
+            {"isgas": is_gas_s.astype(jnp.float32), "gmass": gmass_s,
+             "grho": grho_s},
+            {"ngb": "sum", "norm": "sum"}, G, params.leaf_eval_max)
+        numngb = out["ngb"]
+        converged = (jnp.abs(numngb - desngb) <= dev) | done
+        low = numngb < desngb - dev
+        high = numngb > desngb + dev
+        hb = hsml_s * inv_box
+        left = jnp.where(low & ~done, hb, left)
+        right = jnp.where(high & ~done, hb, right)
+        have_both = (right < jnp.inf) & (left > 0)
+        h_new = jnp.where(
+            have_both, (0.5 * (left ** 3 + right ** 3)) ** (1.0 / 3.0),
+            jnp.where(low, hb * 1.26, hb / 1.26))
+        h_new = jnp.clip(h_new, 1e-6, 0.2)
+        hsml_s = jnp.where(converged, hsml_s, h_new * boxsize)
+        done = converged
+        if bool(jnp.all(done)):
+            break
+
+    norm_s = jnp.maximum(out["norm"], 0.0)
+
+    # -- pass B: gas <- star spread (gather formulation) --------------
+    # node hmax over star hsml so the symmetric search finds every
+    # star whose kernel reaches the gas group (treewalk.h:13-16)
+    lf_ids, n_lf, _lovf = pairs.compact_leaves(tree, cap)
+    hmax = pairs.node_hmax(tree, lf_ids, n_lf,
+                           jnp.where(is_star_s, hsml_s * inv_box, 0.0),
+                           16)
+    mret_s = mret[perm]
+    gen_s = gen[perm]
+    norm_full = norm_s
+
+    def spread_pair_fn(dx, r, tmask, smask, tfeat, sfeat):
+        hinv = 1.0 / jnp.maximum(sfeat["hsml"], 1e-30)
+        u = r * hinv
+        inside = (u < 1.0) & (sfeat["isstar"] > 0) \
+            & (sfeat["norm"] > 0)
+        wk = jnp.where(inside, K.kernel_wk(u, hinv, ktype), 0.0)
+        w = (tfeat["gmass"] / jnp.maximum(tfeat["grho"], 1e-30)
+             if params.sph_weighting else jnp.ones_like(wk))
+        wgt = wk * w / jnp.maximum(sfeat["norm"], 1e-30)
+        res = {"dmass": wgt * sfeat["mret"]}
+        for i in range(NMETALS):
+            res[f"dz{i}"] = wgt * sfeat["gen"][..., i]
+        return res
+
+    reducers = {"dmass": "sum"}
+    reducers.update({f"dz{i}": "sum" for i in range(NMETALS)})
+    ll = params.leaf_list_max
+    for _attempt in range(4):
+        nbr2 = pairs.find_neighbors(tree, leaf_nodes, gc, gh,
+                                    jnp.zeros(gc.shape[0], jnp.float32),
+                                    hmax, ll, symmetric=True)
+        if not bool(jnp.any(nbr2.overflow)):
+            break
+        ll *= 2
+    sp = pairs.pair_reduce(
+        spread_pair_fn, nbr2, tree, pos_box,
+        {"gmass": gmass_s, "grho": grho_s},
+        {"hsml": hsml_s * inv_box,
+         "isstar": is_star_s.astype(jnp.float32),
+         "norm": norm_full, "mret": mret_s, "gen": gen_s},
+        reducers, G, params.leaf_eval_max)
+
+    dmass = jnp.where(is_gas_s, sp["dmass"], 0.0)[inv]
+    dmetals = jnp.stack([sp[f"dz{i}"] for i in range(NMETALS)],
+                        axis=-1)
+    dmetals = jnp.where(is_gas_s[:, None], dmetals, 0.0)[inv]
+
+    # stars with gas neighbors actually returned; others keep mass
+    returned = jnp.where(norm_full[inv] > 0, mret, 0.0)
+    new_gas_mass = mass + dmass
+    new_metals = jnp.where(
+        is_gas[:, None],
+        (sph_metals * mass[:, None] + dmetals)
+        / jnp.maximum(new_gas_mass, 1e-30)[:, None],
+        sph_metals)
+    return {
+        "gas_mass": jnp.where(is_gas, new_gas_mass, mass),
+        "gas_metals": new_metals,
+        "star_mass": jnp.where(is_star, mass - returned, mass),
+        "total_mass_returned":
+            stars.total_mass_returned + returned,
+        "last_enrichment_myr": jnp.where(active, age1,
+                                         stars.last_enrichment_myr),
+        "star_hsml": jnp.where(is_star_s, hsml_s, 0.0)[inv],
+        "mass_returned_total": jnp.sum(returned),
+        "mass_received_total": jnp.sum(dmass),
+    }

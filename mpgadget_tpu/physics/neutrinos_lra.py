@@ -183,3 +183,7 @@ class DeltaTotTable:
         self.delta_nu_init = np.asarray(st["delta_nu_init"])
         self.wavenum = np.asarray(st["wavenum"])
         self.nk = len(self.wavenum)
+        # history starts at the original transfer time, not the
+        # restart time (neutrinos_lra.c:379-452 restores it implicitly
+        # via scalefact[0])
+        self.TimeTransfer = float(np.exp(self.scalefact[0]))

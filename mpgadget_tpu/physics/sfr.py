@@ -240,12 +240,17 @@ def _id_uniform(key, pid):
     return h.astype(jnp.float32) * jnp.float32(2.0 ** -32)
 
 
-def spawn_stars(pdata, sph, make_star, convert, star_mass, atime):
+def spawn_stars(pdata, sph, make_star, convert, star_mass, atime,
+                stars=None):
     """Create star particles (make_particle_star + slots_split_particle
     analog): full conversions flip ptype in place; partial conversions
     claim invalid rows for the new star and reduce the gas mass.
 
-    Returns (pdata, sph, n_spawned, overflow)."""
+    stars: optional StarData (aligned) — new star rows get birth
+    density/metallicity from the source gas and formation_time = atime
+    (starslots init, sfr_eff.c get_star_slot analog).
+
+    Returns (pdata, sph, stars, n_spawned, overflow)."""
     n = pdata.capacity
     # full conversions: flip type
     ptype = jnp.where(convert, 4, pdata.ptype)
@@ -279,5 +284,29 @@ def spawn_stars(pdata, sph, make_star, convert, star_mass, atime):
                                                  mode="drop"),
         grav_pm=pdata.grav_pm.at[dest].set(pdata.grav_pm, mode="drop"),
     )
+    if stars is not None:
+        new_star = make_star  # source rows (converted keep their row)
+        atime_f = jnp.float32(atime)
+
+        def fill(field, vals):
+            # converted rows in place, spawned rows at dest
+            out = jnp.where(convert, vals, field) if vals.ndim == 1 \
+                else jnp.where(convert[:, None], vals, field)
+            return out.at[dest].set(vals, mode="drop")
+
+        stars = stars.replace(
+            formation_time=fill(stars.formation_time,
+                                jnp.where(new_star, atime_f, 0.0)),
+            birth_density=fill(stars.birth_density,
+                               jnp.where(new_star, sph.density, 0.0)),
+            metallicity=fill(stars.metallicity,
+                             jnp.where(new_star, sph.metallicity, 0.0)),
+            metals=fill(stars.metals,
+                        jnp.where(new_star[:, None], sph.metals, 0.0)),
+            total_mass_returned=fill(stars.total_mass_returned,
+                                     jnp.zeros_like(star_mass)),
+            last_enrichment_myr=fill(stars.last_enrichment_myr,
+                                     jnp.zeros_like(star_mass)),
+        )
     # converted star keeps sph data frozen (ignored for type 4)
-    return pdata, sph, nspawn, overflow
+    return pdata, sph, stars, nspawn, overflow

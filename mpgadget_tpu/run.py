@@ -41,6 +41,7 @@ class SimConfig:
     snapshot_base: str = "PART"
     fast_particle_type: int = 2
     tree_grav_on: bool = True
+    split_gravity_timesteps: bool = False  # per-bin sub-cycling
     rcut: float = 6.0
     gravity_softening: float = 1.0 / 30.0  # of mean DM separation
     err_tol_force_acc: float = 0.002
@@ -72,8 +73,20 @@ class SimConfig:
     helium_heat_thresh: float = 10.0
     helium_heat_amp: float = 1.0
     helium_heat_exp: float = 0.0
+    # QSO helium reionization (cooling_qso_lightup.c)
+    qso_lightup_on: bool = False
+    reion_hist_file: str = ""
+    qso_min_mass: float = 100.0
+    qso_max_mass: float = 1000.0
+    qso_mean_bubble: float = 20000.0
+    qso_var_bubble: float = 0.0
+    qso_finish_frac: float = 0.995
     # star formation
     starformation_on: bool = False
+    metal_return_on: bool = False
+    metals_sn1a_n0: float = 1.3e-3
+    metals_sph_weighting: int = 1
+    metals_max_ngb_deviation: float = 5.0
     wind_on: bool = False
     sfr_criterion: int = 1
     crit_overdensity: float = 57.7
@@ -97,6 +110,7 @@ class SimConfig:
     wind_thermal_factor: float = 0.0
     max_wind_free_travel_time: float = 60.0
     random_seed: int = 42
+    random_particle_offset: float = 8.0  # max shift in PM cells
     # massive neutrinos (linear response)
     massive_nu_lin_resp_on: bool = False
     m_nu: tuple = (0.0, 0.0, 0.0)
@@ -127,6 +141,16 @@ class SimConfig:
     auto_snapshot_time: float = 0.0
     output_energy_debug: bool = False
     # FOF
+    part_alloc_factor: float = 1.5
+    # lensing potential planes (plane.c)
+    plane_output_list: str = ""
+    plane_resolution: int = 256
+    plane_thickness: float = -1.0
+    plane_cut_points: str = ""
+    plane_normals: str = "0, 1, 2"
+    plane_nu_correction: bool = True
+    plane_double_out: bool = False
+    lightcone_on: bool = False
     snapshot_with_fof: bool = False
     fof_file_base: str = "PIG"
     fof_save_particles: bool = True
@@ -167,6 +191,11 @@ class Simulation:
                             & np.any(np.asarray(pdata.valid)))
         self.sph = None
         self.bh = None
+        self.stars = None
+        # random internal box shift (partmanager.h:79-84): decorrelates
+        # Morton-tree force errors between steps; subtracted on output
+        self._ipos_offset = np.zeros(3, np.uint32)
+        self._nstep_total = 0
         self._gas_initialized = False
         self._min_egy_spec = 0.0
 
@@ -189,10 +218,19 @@ class Simulation:
             type_all.append(np.full(n, ptype, np.int32))
             id_all.append(sp["pid"].astype(np.int64))
         pos = np.concatenate(pos_all)
+        n_read = len(pos)
+        # over-allocate rows for star spawning / BH seeding
+        # (PartAllocFactor; slots_reserve analog) — rounded up to the
+        # treewalk block size so no per-step padding is needed
+        alloc = float(cfg_kwargs.get("part_alloc_factor", 1.5))
+        if not (cfg_kwargs.get("starformation_on")
+                or cfg_kwargs.get("black_hole_on")):
+            alloc = 1.0     # nothing spawns: no padding needed
+        capacity = int(np.ceil(max(1.0, alloc) * n_read / 128)) * 128
         pdata = ParticleData.from_numpy(
             pos, np.concatenate(vel_all), np.concatenate(mass_all),
             np.concatenate(type_all), np.concatenate(id_all),
-            header.BoxSize)
+            header.BoxSize, capacity=capacity)
         units = get_unitsystem(header.UnitLength_in_cm,
                                header.UnitMass_in_g,
                                header.UnitVelocity_in_cm_per_s)
@@ -225,12 +263,72 @@ class Simulation:
             for name, key in (("ElectronAbundance", "ne"),
                               ("Metallicity", "metallicity"),
                               ("StarFormationRate", "sfr"),
+                              ("DelayTime", "delay_time"),
+                              ("Metals", "metals"),
+                              ("HeIIIIonized", "he_iii_ionized"),
                               ("EgyWtDensity", "egy_wt_density")):
                 if "0/" + name in bf:
                     sim._gas_restore[key] = bf.open("0/" + name).read()
         else:
             sim._gas_restore = None
+        # star/BH slot state via the declarative registry (the round-1
+        # restart dropped these: ADVICE r1 #1, petaio.c:1040-1069)
+        from .io.registry import blocks_for_type
+        slot_restore = {}
+        for t in (4, 5):
+            if int(header.TotNumPart[t]) == 0:
+                continue
+            for spec in blocks_for_type(t):
+                key = f"{t}/{spec.name}"
+                if not spec.wronly and key in bf:
+                    slot_restore[(t, spec.name)] = bf.open(key).read()
+        sim._restore_slot_state(slot_restore)
+        # neutrino delta_tot history (petaio_read_neutrinos analog)
+        if "Neutrino" in bf:
+            sim._nu_restore = snap_io.read_neutrino_state(bf)
+        else:
+            sim._nu_restore = None
         return sim
+
+    def _restore_slot_state(self, slot_restore):
+        """Scatter registry-read star/BH blocks into aligned structs."""
+        if not slot_restore:
+            return
+        from .io.registry import blocks_for_type
+        ptype = np.asarray(self.pdata.ptype)
+        valid = np.asarray(self.pdata.valid)
+        n = self.pdata.capacity
+        for t, name in ((4, "stars"), (5, "bh")):
+            data = {k[1]: v for k, v in slot_restore.items()
+                    if k[0] == t}
+            if not data:
+                continue
+            rows = np.flatnonzero(valid & (ptype == t))
+            if rows.size == 0:
+                continue
+            if t == 4:
+                from .physics.stars import StarData
+                holder = StarData.zeros(n)
+            else:
+                from .physics.blackhole import BhData
+                holder = BhData.zeros(n)
+            updates = {}
+            for spec in blocks_for_type(t):
+                arr = data.get(spec.name)
+                if arr is None:
+                    continue
+                cur = np.asarray(getattr(holder, spec.field))
+                full = np.array(cur)
+                full[rows] = np.asarray(arr).reshape(
+                    (rows.size,) + cur.shape[1:]).astype(cur.dtype)
+                updates[spec.field] = jnp.asarray(full)
+            if t == 5 and "bh_mass" not in updates:
+                # never leave restored BHs with zero subgrid mass:
+                # Bondi mdot ~ bh_mass^2 would stay 0 forever
+                m = np.zeros(n, np.float32)
+                m[rows] = self.cfg.bh_seed_mass
+                updates["bh_mass"] = jnp.asarray(m)
+            setattr(self, name, holder.replace(**updates))
 
     def _compute_omegas(self):
         """Density parameter per particle type, from total masses."""
@@ -252,7 +350,7 @@ class Simulation:
 
     # -- forces --------------------------------------------------------
 
-    def compute_forces(self, measure_power=True):
+    def compute_forces(self, measure_power=True, tree=True):
         """Long-range PM force (+ short-range tree when enabled)."""
         weights = jnp.where(self.pdata.valid, self.pdata.mass,
                             jnp.float32(0))
@@ -276,9 +374,10 @@ class Simulation:
         if measure_power:
             self.last_power = ps
         if self.cfg.tree_grav_on:
-            self.walltime.start("Tree")
-            self._compute_tree_forces()
-            self.walltime.stop("Tree")
+            if tree:
+                self.walltime.start("Tree")
+                self._compute_tree_forces()
+                self.walltime.stop("Tree")
         else:
             self.pdata = self.pdata.replace(
                 grav_accel=jnp.zeros_like(self.pdata.grav_accel))
@@ -297,10 +396,13 @@ class Simulation:
         if getattr(self, "_nu_table_state", None) is None:
             self._nu_table_state = DeltaTotTable(
                 self.CP, k_int, delta, self.atime, self.cfg.units)
+            if getattr(self, "_nu_restore", None) is not None:
+                # snapshot-embedded history (neutrinos_lra.c:379-452)
+                self._nu_table_state.load_state(self._nu_restore)
         logk, nufac = self._nu_table_state.step(self.atime, delta)
         return (logk, nufac)
 
-    def _compute_tree_forces(self):
+    def _compute_tree_forces(self, active=None):
         from .gravity.treepm import TreeGravity
         if self._tree_grav is None:
             # softening in units of mean DM separation
@@ -326,7 +428,8 @@ class Simulation:
         # avoid it; the overflow check syncs only on the retry path.
         from dataclasses import replace as dc_replace
         for attempt in range(6):
-            accel = self._tree_grav.compute(self.pdata)
+            accel = self._tree_grav.compute(self.pdata,
+                                            target_active=active)
             if not bool(jnp.any(self._tree_grav.last_overflow)):
                 break
             wc = self._tree_grav.walk_cfg
@@ -344,6 +447,9 @@ class Simulation:
                 "tree walk capacity overflow after retries: increase "
                 "WalkConfig.leaf_list_max/src_cap or "
                 "TreeConfig.node_factor")
+        if active is not None:
+            accel = jnp.where(active[:, None], accel,
+                              self.pdata.grav_accel)
         self.pdata = self.pdata.replace(grav_accel=accel)
 
     # -- SPH -----------------------------------------------------------
@@ -467,6 +573,19 @@ class Simulation:
             sph = sph.replace(metallicity=expand(r["metallicity"]))
         if "sfr" in r:
             sph = sph.replace(sfr=expand(r["sfr"]))
+        if "delay_time" in r:
+            sph = sph.replace(delay_time=expand(r["delay_time"]))
+        if "he_iii_ionized" in r:
+            full = np.zeros(n, np.uint8)
+            full[np.asarray(gas)] = np.asarray(r["he_iii_ionized"],
+                                               np.uint8)
+            sph = sph.replace(he_iii_ionized=jnp.asarray(full))
+        if "metals" in r:
+            full = np.asarray(sph.metals)
+            full = np.array(full)
+            full[np.asarray(gas)] = np.asarray(
+                r["metals"], np.float32).reshape(-1, full.shape[1])
+            sph = sph.replace(metals=jnp.asarray(full))
         self.sph = sph
         self.pdata = self.pdata.replace(hsml=expand(r["hsml"]))
         uu = self.cfg.units.UnitInternalEnergy_in_cgs
@@ -475,35 +594,51 @@ class Simulation:
                               / uu / (4.0 / (1 + 3 * C.HYDROGEN_MASSFRAC)))
         self._gas_initialized = True
 
-    def compute_hydro(self, dloga):
-        """Density + hydro force loops (run.c:466-489 analog)."""
+    def compute_hydro(self, dloga, active=None):
+        """Density + hydro force loops (run.c:466-489 analog).
+
+        active: optional bool[N] — restrict TARGETS to the active set
+        (hierarchical stepping); all gas stays as sources and inactive
+        targets keep their old values."""
         from .sph.density import sph_density
         from .sph.hydra import hydro_force, HydroParams
         from .utils.constants import GAMMA
         gas = self.gas_mask
+        tgt = gas if active is None else (gas & active)
         atime = self.atime
         hubble = self.CP.hubble_function(atime)
         entvar = jnp.maximum(self.sph.entropy, 1e-30) ** (1.0 / GAMMA)
         entvar = jnp.where(gas, entvar, 0.0)
         dpar = self._density_params()
+
+        def merge(new, old):
+            new = jnp.asarray(new)
+            if active is None:
+                return new
+            m = tgt[:, None] if new.ndim == 2 else tgt
+            return jnp.where(m, new, old)
+
         self.walltime.start("SPH/Density")
         out = sph_density(self.pdata.ipos, self.pdata.mass, gas,
                           self.pdata.hsml, self.pdata.vel,
                           self.pdata.vel, entvar, dpar,
                           self.cfg.boxsize,
-                          do_egy_density=self.cfg.density_independent_sph)
+                          do_egy_density=self.cfg.density_independent_sph,
+                          target_mask=None if active is None else tgt)
         self.walltime.stop("SPH/Density")
         self.pdata = self.pdata.replace(
-            hsml=jnp.asarray(out["hsml"]),
-            dt_hsml=jnp.asarray(out["dt_hsml"]))
+            hsml=merge(out["hsml"], self.pdata.hsml),
+            dt_hsml=merge(out["dt_hsml"], self.pdata.dt_hsml))
         self.sph = self.sph.replace(
-            density=jnp.asarray(out["density"]),
-            egy_wt_density=jnp.asarray(out["egy_wt_density"]),
-            dhsml_density_factor=jnp.asarray(
-                out["dhsml_density_factor"]),
-            dhsml_egy_factor=jnp.asarray(out["dhsml_egy_factor"]),
-            div_vel=jnp.asarray(out["div_vel"]),
-            curl_vel=jnp.asarray(out["curl_vel"]))
+            density=merge(out["density"], self.sph.density),
+            egy_wt_density=merge(out["egy_wt_density"],
+                                 self.sph.egy_wt_density),
+            dhsml_density_factor=merge(out["dhsml_density_factor"],
+                                       self.sph.dhsml_density_factor),
+            dhsml_egy_factor=merge(out["dhsml_egy_factor"],
+                                   self.sph.dhsml_egy_factor),
+            div_vel=merge(out["div_vel"], self.sph.div_vel),
+            curl_vel=merge(out["curl_vel"], self.sph.curl_vel))
         hp = HydroParams(
             kernel_type=self.cfg.density_kernel_type,
             art_bulk_visc=self.cfg.art_bulk_visc,
@@ -526,9 +661,10 @@ class Simulation:
             hydro_accel = jnp.where(dec[:, None], 0.0, hydro_accel)
             dt_entropy = jnp.where(dec, 0.0, dt_entropy)
         self.sph = self.sph.replace(
-            hydro_accel=hydro_accel,
-            dt_entropy=dt_entropy,
-            max_signal_vel=res["max_signal_vel"])
+            hydro_accel=merge(hydro_accel, self.sph.hydro_accel),
+            dt_entropy=merge(dt_entropy, self.sph.dt_entropy),
+            max_signal_vel=merge(res["max_signal_vel"],
+                                 self.sph.max_signal_vel))
 
     def _init_cooling(self):
         from .physics.cooling import (CoolingParams, CoolingRates,
@@ -636,6 +772,53 @@ class Simulation:
                 self.cfg.units.UnitTime_in_s)
             self._vdisp = jnp.zeros(self.pdata.capacity, jnp.float32)
 
+    def apply_metal_return(self, dloga):
+        """Stellar mass & metal return to neighbor gas
+        (metal_return(), metal_return.c:423-500)."""
+        from .physics import metal_return as mrmod
+        is_star = self.pdata.valid & (self.pdata.ptype == 4)
+        nstar = int(jnp.sum(is_star.astype(jnp.int32)))
+        if nstar == 0 or self.sph is None or self.stars is None:
+            return
+        atime1 = self.atime
+        atime0 = float(np.exp(np.log(atime1) - dloga))
+        if getattr(self, "_age_table", None) is None:
+            self._age_table = mrmod.AgeTable(
+                self.CP.hubble_function, self.cfg.units,
+                self.CP.HubbleParam)
+            self._mr_params = mrmod.MetalReturnParams(
+                sn1a_n0=self.cfg.metals_sn1a_n0,
+                sph_weighting=self.cfg.metals_sph_weighting,
+                max_ngb_deviation=self.cfg.metals_max_ngb_deviation)
+            self._star_hsml = jnp.where(
+                is_star, self.pdata.hsml, 0.0)
+        # seed star hsml from the particle hsml (gas-inherited) or the
+        # mean spacing when zero
+        npart = float(np.asarray(self.pdata.num_valid))
+        mean_sep = self.cfg.boxsize / max(1.0, np.cbrt(npart))
+        sh = jnp.where(self._star_hsml > 0, self._star_hsml,
+                       jnp.where(self.pdata.hsml > 0,
+                                 self.pdata.hsml, 2.0 * mean_sep))
+        self.walltime.start("MetalReturn")
+        out = mrmod.metal_return_step(
+            self.pdata.ipos, self.pdata.mass, self.pdata.hsml,
+            self.sph.density, self.gas_mask, is_star, sh, self.stars,
+            self.sph.metals, atime0, atime1, self._age_table,
+            self.cfg.boxsize, self._mr_params, self.CP.HubbleParam)
+        self.walltime.stop("MetalReturn")
+        new_mass = jnp.where(self.gas_mask, out["gas_mass"],
+                             out["star_mass"]).astype(jnp.float32)
+        self.pdata = self.pdata.replace(mass=new_mass)
+        zmet = jnp.sum(out["gas_metals"][:, 2:], axis=1)
+        self.sph = self.sph.replace(
+            metals=out["gas_metals"],
+            metallicity=jnp.where(self.gas_mask, zmet,
+                                  self.sph.metallicity))
+        self.stars = self.stars.replace(
+            total_mass_returned=out["total_mass_returned"],
+            last_enrichment_myr=out["last_enrichment_myr"])
+        self._star_hsml = out["star_hsml"]
+
     def apply_cooling_sfr(self, dloga):
         """cooling_and_starformation (sfr_eff.c:187): eEOS + spawning
         for star-forming gas, plain cooling otherwise."""
@@ -700,9 +883,14 @@ class Simulation:
                     self.sph.density, dloga / hubble_now, atime))
         nstar = int(jnp.sum(out["make_star"].astype(jnp.int32)))
         if nstar > 0:
-            self.pdata, self.sph, nspawn, ovf = sfrmod.spawn_stars(
-                self.pdata, self.sph, out["make_star"], out["convert"],
-                out["star_mass"], atime)
+            if self.stars is None:
+                from .physics.stars import StarData
+                self.stars = StarData.zeros(self.pdata.capacity)
+            self.pdata, self.sph, self.stars, nspawn, ovf = \
+                sfrmod.spawn_stars(
+                    self.pdata, self.sph, out["make_star"],
+                    out["convert"], out["star_mass"], atime,
+                    stars=self.stars)
             if bool(ovf):
                 raise RuntimeError("particle capacity exhausted while "
                                    "spawning stars; raise PartAllocFactor")
@@ -766,10 +954,175 @@ class Simulation:
                 entropy=jnp.where(gas, ent, self.sph.entropy))
         self.pdata = self.pdata.replace(vel=vel)
 
+    def _update_random_offset(self):
+        """Re-randomize the internal box shift (update_random_offset,
+        partmanager.c:43-60; applied per PM step, run.c:411).  With
+        uint32 fixed-point positions the shift is one wrapping add."""
+        frac = self.cfg.random_particle_offset / self.cfg.nmesh
+        rng = np.random.RandomState(
+            (self.cfg.random_seed * 9999991 + self._nstep_total)
+            % (2 ** 31 - 1))
+        new = (rng.random_sample(3) * frac * 2.0 ** 32).astype(
+            np.uint64).astype(np.uint32)
+        delta = (new.astype(np.uint64)
+                 - self._ipos_offset.astype(np.uint64)).astype(np.uint32)
+        self.pdata = self.pdata.replace(
+            ipos=self.pdata.ipos + jnp.asarray(delta)[None, :])
+        self._ipos_offset = new
+
+    def _output_pos(self, sel=None):
+        """Float positions with the internal random shift removed
+        (petaio position IO, partmanager.h:79-84)."""
+        ip = np.asarray(self.pdata.ipos)
+        if sel is not None:
+            ip = ip[sel]
+        ip = (ip.astype(np.uint64)
+              - self._ipos_offset.astype(np.uint64)).astype(np.uint32)
+        return fixed_to_pos(ip, self.cfg.boxsize)
+
+    def _apply_pm_half_kick(self, t0, t1):
+        """Long-range-only kick (apply_PM_half_kick, timestep.c)."""
+        vel = kick(self.pdata.vel, self.pdata.grav_pm,
+                   self.tf.gravkick(t0, t1))
+        self.pdata = self.pdata.replace(vel=vel)
+
+    def _bin_half_kick(self, mask, bins, ti, maxbin, opening):
+        """Per-timebin short-range + hydro half kick for particles in
+        ``mask`` at their own bin interval (apply_half_kick for the
+        active list, timestep.c:520-600)."""
+        from .utils.constants import GAMMA_MINUS1
+        gfac = np.zeros(maxbin + 1, np.float32)
+        hfac = np.zeros(maxbin + 1, np.float32)
+        dlg = np.zeros(maxbin + 1, np.float32)
+        for b in range(1, maxbin + 1):
+            db = 1 << b
+            if opening:
+                ta, tb = ti, ti + db // 2
+            else:
+                ta, tb = ti - db // 2, ti
+            gfac[b] = self.tf.gravkick(ta, tb)
+            if self.has_gas and self._gas_initialized:
+                hfac[b] = self.tf.hydrokick(ta, tb)
+                dlg[b] = (self.timeline.loga_from_ti(tb)
+                          - self.timeline.loga_from_ti(ta))
+        bins_c = jnp.clip(bins, 0, maxbin)
+        gk = jnp.asarray(gfac)[bins_c]
+        vel = self.pdata.vel + jnp.where(
+            mask[:, None], self.pdata.grav_accel * gk[:, None], 0.0)
+        if self.has_gas and self._gas_initialized:
+            gas = self.gas_mask & mask
+            hk = jnp.asarray(hfac)[bins_c]
+            vel = vel + jnp.where(gas[:, None],
+                                  self.sph.hydro_accel * hk[:, None],
+                                  0.0)
+            dl = jnp.asarray(dlg)[bins_c]
+            ent = self.sph.entropy + self.sph.dt_entropy * dl
+            a3 = self.atime ** 3
+            minent = GAMMA_MINUS1 * self._min_egy_spec / jnp.maximum(
+                self.sph.density / a3, 1e-30) ** GAMMA_MINUS1
+            ent = jnp.maximum(ent, minent)
+            ent = jnp.maximum(ent, 0.5 * self.sph.entropy)
+            self.sph = self.sph.replace(
+                entropy=jnp.where(gas, ent, self.sph.entropy))
+        self.pdata = self.pdata.replace(vel=vel)
+
+    def step_hierarchical(self, dti_pm: int):
+        """One PM interval with per-particle timebin sub-cycling
+        (find_timesteps + the active-list KDK of run.c:374-520,
+        timestep.c:298-503).
+
+        Particles carry power-of-two bins from the gravity-acceleration
+        and Courant criteria; each substep advances the global clock by
+        the minimum active bin, drifts everything, and recomputes
+        short-range + hydro forces only for targets closing their bin
+        interval.  The PM force is a global half kick at each end of
+        the interval.  Bins are fixed within one PM interval; source
+        terms (cooling/SFR/BH/metal return) run once per PM interval
+        (a Strang-split approximation of the reference's per-active-bin
+        application)."""
+        from .timestep import assign_particle_bins
+        from .timeline import get_timestep_bin
+        t0 = self.ti_current
+        t_end = t0 + dti_pm
+        if self.cfg.random_particle_offset > 0 and self._nstep_total:
+            self._update_random_offset()
+        self._nstep_total += 1
+        inv_box = 1.0 / self.cfg.boxsize
+        mid = t0 + dti_pm // 2
+        self._apply_pm_half_kick(t0, mid)
+
+        npart = float(np.asarray(self.pdata.num_valid))
+        mean_sep = self.cfg.boxsize / max(1.0, np.cbrt(npart))
+        soft = 2.8 * self.cfg.gravity_softening * mean_sep
+        bins = assign_particle_bins(
+            self.pdata, self.sph if self._gas_initialized else None,
+            self.gas_mask, self.CP, self.atime, soft, self.timeline,
+            t0, self.cfg.timestep, dti_pm)
+        # bin dti must divide both t0 and dti_pm or boundaries never
+        # align with the global clock (is_timebin_active analog)
+        maxbin = get_timestep_bin(dti_pm)
+        tz = (t0 & -t0).bit_length() - 1 if t0 > 0 else 62
+        tzp = (dti_pm & -dti_pm).bit_length() - 1
+        maxbin = max(1, min(maxbin, tz, tzp))
+        bins = jnp.clip(bins, 1, maxbin)
+        if self.cfg.timestep.ForceEqualTimesteps:
+            bins = jnp.full_like(bins, int(jnp.min(bins)))
+        self.pdata = self.pdata.replace(timebin=bins)
+        dtib = (jnp.int64(1) << bins.astype(jnp.int64))
+        valid = self.pdata.valid
+
+        ti = t0
+        n_sub = 0
+        while ti < t_end:
+            aligned = (jnp.int64(ti) & (dtib - 1)) == 0
+            active = valid & aligned
+            self._bin_half_kick(active, bins, ti, maxbin, opening=True)
+            dti_s = int(jnp.min(jnp.where(active, dtib, jnp.int64(
+                1 << 62))))
+            dti_s = min(dti_s, t_end - ti)
+            # drift ALL particles (drift is global, drift.c)
+            hsml = self.pdata.hsml + self.pdata.dt_hsml \
+                * jnp.float32(self.tf.drift(ti, ti + dti_s))
+            hsml = jnp.clip(hsml, 0.0, 0.45 * self.cfg.boxsize)
+            self.pdata = self.pdata.replace(
+                ipos=drift(self.pdata.ipos, self.pdata.vel,
+                           self.tf.drift(ti, ti + dti_s), inv_box),
+                hsml=hsml)
+            ti += dti_s
+            self.ti_current = ti
+            closing = valid & ((jnp.int64(ti) & (dtib - 1)) == 0)
+            if self.has_gas and self.cfg.hydro_on \
+                    and self._gas_initialized:
+                dloga_s = self.timeline.dloga_from_dti(dti_s,
+                                                       ti - dti_s)
+                self.compute_hydro(dloga_s, active=closing)
+            self._compute_tree_forces(active=closing)
+            self._bin_half_kick(closing, bins, ti, maxbin,
+                                opening=False)
+            n_sub += 1
+        # long-range force refresh + closing PM kick at the sync point
+        self.compute_forces(tree=False)
+        self._apply_pm_half_kick(mid, t_end)
+        # Strang-split source terms once per PM interval (run.c:586)
+        if self.has_gas and self._gas_initialized:
+            dloga = self.timeline.dloga_from_dti(dti_pm, t0)
+            if self.cfg.black_hole_on:
+                self.apply_blackholes(dloga)
+            if self.cfg.starformation_on:
+                self.apply_cooling_sfr(dloga)
+            elif self.cfg.cooling_on:
+                self.apply_cooling(dloga)
+            if self.cfg.metal_return_on:
+                self.apply_metal_return(dloga)
+        return n_sub
+
     def step(self, dti: int):
         """One global KDK step over dti integer ticks."""
         t0, t1 = self.ti_current, self.ti_current + dti
         th = t0 + dti // 2
+        if self.cfg.random_particle_offset > 0 and self._nstep_total:
+            self._update_random_offset()
+        self._nstep_total += 1
         inv_box = 1.0 / self.cfg.boxsize
         # K: half kick with forces at t0
         self._apply_half_kick(t0, th)
@@ -809,6 +1162,8 @@ class Simulation:
                 self.apply_cooling_sfr(dloga)
             elif self.cfg.cooling_on:
                 self.apply_cooling(dloga)
+            if self.cfg.metal_return_on:
+                self.apply_metal_return(dloga)
 
     def run(self, max_steps: Optional[int] = None, verbose=True):
         """Main loop (run.c:314-800, PM-only path)."""
@@ -849,9 +1204,21 @@ class Simulation:
                 dti = min(dti, max(dti_h, 1))
             if dti <= 0:
                 raise RuntimeError(f"Bad timestep {dti}")
-            self.step(dti)
+            if self.cfg.split_gravity_timesteps \
+                    and self.cfg.tree_grav_on:
+                self.step_hierarchical(dti)
+            else:
+                self.step(dti)
             nsteps += 1
             hci.update_longest_step(_t.monotonic() - _step_t0)
+            # QSO helium reionization runs on PM steps during its
+            # epoch, with a fresh FOF (do_heiii_reionization)
+            if (self.cfg.qso_lightup_on and self.has_gas
+                    and self._gas_initialized):
+                self._run_qso_lightup(self.timeline.dloga_from_dti(
+                    dti, self.ti_current - dti))
+            if self.cfg.plane_output_list:
+                self._maybe_write_planes()
             sp = self.timeline.find_current_sync_point(self.ti_current)
             if sp is not None and sp.write_snapshot:
                 self.write_snapshot()
@@ -875,6 +1242,62 @@ class Simulation:
         return nsteps
 
     # -- black holes ----------------------------------------------------
+
+    def _maybe_write_planes(self):
+        """Write lensing potential planes for any plane output times
+        crossed this step (write_plane, plane.c:572)."""
+        from .physics.plane import PlaneParams, write_planes
+        if getattr(self, "_plane_times", None) is None:
+            self._plane_times = sorted(
+                float(x) for x in
+                self.cfg.plane_output_list.replace(",", " ").split())
+            self._planes_done = set()
+            cuts = [float(x) for x in
+                    self.cfg.plane_cut_points.replace(",", " ").split()]
+            normals = [int(x) for x in
+                       self.cfg.plane_normals.replace(",", " ").split()]
+            self._plane_params = PlaneParams(
+                output_times=self._plane_times,
+                resolution=self.cfg.plane_resolution,
+                thickness=self.cfg.plane_thickness,
+                cut_points=cuts, normals=normals,
+                massive_nu_correction=self.cfg.plane_nu_correction,
+                double_out=self.cfg.plane_double_out)
+        atime = self.atime
+        for i, t in enumerate(self._plane_times):
+            if i in self._planes_done or t > atime + 1e-9:
+                continue
+            self.walltime.start("Planes")
+            write_planes(self, i, self._plane_params)
+            self.walltime.stop("Planes")
+            self._planes_done.add(i)
+
+    def _run_qso_lightup(self, dloga=0.0):
+        """Helium reionization driver for one PM step."""
+        from .physics import qso_lightup as qmod
+        if getattr(self, "_heii_hist", None) is None:
+            if not self.cfg.reion_hist_file:
+                raise ValueError("QSOLightupOn needs ReionHistFile")
+            self._heii_hist = qmod.load_heii_reion_hist(
+                self.cfg.reion_hist_file)
+            self._qso_params = qmod.QSOParams(
+                min_mass=self.cfg.qso_min_mass,
+                max_mass=self.cfg.qso_max_mass,
+                mean_bubble=self.cfg.qso_mean_bubble,
+                var_bubble=self.cfg.qso_var_bubble,
+                finish_frac=self.cfg.qso_finish_frac,
+                heiii_start=self._heii_hist.zstart)
+        hist, par = self._heii_hist, self._qso_params
+        atime = self.atime
+        z = 1.0 / atime - 1.0
+        if z > par.heiii_start or atime > hist.aend:
+            return
+        self.walltime.start("HeIII")
+        if dloga > 0:
+            qmod.apply_lmfp_heating(self, hist, par, dloga)
+        cat = self.run_fof(save=False)
+        qmod.do_heiii_reionization(self, cat, hist, par)
+        self.walltime.stop("HeIII")
 
     def _bh_params(self):
         from .physics.blackhole import BHParams
@@ -1114,8 +1537,11 @@ class Simulation:
                              np.arange(1, ng + 1, dtype="<u4"))
         bf.create_from_array("FOFGroups/Mass",
                              cat["masses"].astype("<f4"))
-        bf.create_from_array("FOFGroups/MassCenterPosition",
-                             cat["cm"].astype("<f8"))
+        off = self._ipos_offset.astype(np.float64) / 2.0 ** 32 \
+            * self.cfg.boxsize
+        bf.create_from_array(
+            "FOFGroups/MassCenterPosition",
+            np.mod(cat["cm"] - off, self.cfg.boxsize).astype("<f8"))
         bf.create_from_array("FOFGroups/MassCenterVelocity",
                              (cat["vel"] / atime).astype("<f4"))
         bf.create_from_array("FOFGroups/LengthByType",
@@ -1135,8 +1561,7 @@ class Simulation:
             order = np.nonzero(insel)[0][np.argsort(gi[insel],
                                                     kind="stable")]
             ptype = np.asarray(self.pdata.ptype)[order]
-            pos = fixed_to_pos(np.asarray(self.pdata.ipos),
-                               self.cfg.boxsize)[order]
+            pos = self._output_pos()[order]
             vel = np.asarray(self.pdata.vel)[order]
             mass = np.asarray(self.pdata.mass)[order]
             pid = np.asarray(self.pdata.pid)[order]
@@ -1206,7 +1631,20 @@ class Simulation:
             ei += eic
             ep += epc
             ek += ekc
-        cols[1] = 0.0  # mean gas temperature placeholder
+        # mass-weighted mean gas temperature (stats.c:389-412); from
+        # u and electron abundance via the cooling mean-weight formula
+        gas_sel = valid & (ptype == 0)
+        if self.sph is not None and np.any(gas_sel):
+            from .utils import constants as C
+            ne = np.asarray(self.sph.ne, np.float64)
+            xh = C.HYDROGEN_MASSFRAC
+            nh_frac = 4.0 / (1.0 + 3.0 * xh + 4.0 * xh * ne)
+            uu = self.cfg.units.UnitInternalEnergy_in_cgs
+            temp_p = (GAMMA_MINUS1 * C.PROTONMASS / C.BOLTZMANN
+                      * nh_frac * u * uu)
+            mg = mass[gas_sel].sum()
+            cols[1] = float((mass[gas_sel] * temp_p[gas_sel]).sum()
+                            / max(mg, 1e-300))
         row = [atime, cols[1], ei, ep, ek]
         for t in range(6):
             row += [comp[t][0], comp[t][1], comp[t][2]]
@@ -1250,28 +1688,27 @@ class Simulation:
     # -- output --------------------------------------------------------
 
     def _species_extra_blocks(self, t, sel, atime):
-        """Type-specific blocks for a boolean selection sel
-        (petaio.c:992-1078 registry subset)."""
+        """Type-specific blocks for a boolean selection sel, driven by
+        the declarative registry (petaio.c:992-1078 analog) plus the
+        derived InternalEnergy block."""
         from .utils.constants import GAMMA_MINUS1
+        from .io.registry import blocks_for_type
         extra = {}
+        holders = {"pdata": self.pdata, "sph": self.sph,
+                   "stars": self.stars, "bh": self.bh}
+        for spec in blocks_for_type(t):
+            holder = holders.get(spec.holder)
+            if holder is None:
+                continue
+            arr = np.asarray(getattr(holder, spec.field))
+            extra[spec.name] = arr[sel].astype(spec.dtype)
         if t == 0 and self.sph is not None:
             a3inv = 1.0 / atime ** 3
             ent = np.asarray(self.sph.entropy)[sel]
             rho = np.asarray(self.sph.density)[sel]
             u = ent / GAMMA_MINUS1 * np.maximum(
                 rho * a3inv, 1e-30) ** GAMMA_MINUS1
-            extra["SmoothingLength"] = np.asarray(
-                self.pdata.hsml)[sel].astype("<f4")
-            extra["Density"] = rho.astype("<f4")
             extra["InternalEnergy"] = u.astype("<f4")
-            extra["EgyWtDensity"] = np.asarray(
-                self.sph.egy_wt_density)[sel].astype("<f4")
-            extra["ElectronAbundance"] = np.asarray(
-                self.sph.ne)[sel].astype("<f4")
-            extra["StarFormationRate"] = np.asarray(
-                self.sph.sfr)[sel].astype("<f4")
-            extra["Metallicity"] = np.asarray(
-                self.sph.metallicity)[sel].astype("<f4")
         return extra
 
     def write_snapshot(self, label: Optional[int] = None):
@@ -1285,7 +1722,7 @@ class Simulation:
         atime = self.atime
         valid = np.asarray(self.pdata.valid)
         ptype = np.asarray(self.pdata.ptype)
-        pos = fixed_to_pos(np.asarray(self.pdata.ipos), self.cfg.boxsize)
+        pos = self._output_pos()
         vel = np.asarray(self.pdata.vel)
         mass = np.asarray(self.pdata.mass)
         pid = np.asarray(self.pdata.pid)
@@ -1317,6 +1754,9 @@ class Simulation:
             RSDFactor=1.0 / (atime * hubble),
         )
         snap_io.write_header(bf, header)
+        if getattr(self, "_nu_table_state", None) is not None:
+            snap_io.write_neutrino_state(
+                bf, self._nu_table_state.state_dict())
         with open(os.path.join(self.cfg.output_dir, "Snapshots.txt"),
                   "a") as fh:
             fh.write(f"{label:03d} {atime}\n")

@@ -73,12 +73,16 @@ def _density_pair_fn(ktype):
 
 def sph_density(ipos, mass, valid_gas, hsml, vel, velpred, entvarpred,
                 par: DensityParams, boxsize,
-                update_hsml=True, do_egy_density=True):
+                update_hsml=True, do_egy_density=True,
+                target_mask=None):
     """Compute densities over gas particles (any order); returns dict of
     arrays in the INPUT particle order + converged hsml.
 
     valid_gas: bool[N] — gas particles to include.
     velpred/entvarpred: predicted source quantities (input order).
+    target_mask: optional bool[N] — only these particles drive the
+    hsml bisection (active-set stepping); others keep their hsml and
+    the caller merges their outputs.
     """
     n = ipos.shape[0]
     keys = morton_key(ipos)
@@ -107,7 +111,10 @@ def sph_density(ipos, mass, valid_gas, hsml, vel, velpred, entvarpred,
 
     left = jnp.zeros(n, jnp.float32)
     right = jnp.full(n, jnp.inf, jnp.float32)
-    done = ~valid_s
+    if target_mask is not None:
+        done = ~(valid_s & target_mask[perm])
+    else:
+        done = ~valid_s
     source_feats = {
         "mass": jnp.where(valid_s, mass_s, 0.0),
         "velpred": velpred[perm],

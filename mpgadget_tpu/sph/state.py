@@ -23,15 +23,20 @@ class SphData:
     hydro_accel: jnp.ndarray      # f32[N,3]
     ne: jnp.ndarray               # f32[N] electron abundance
     metallicity: jnp.ndarray      # f32[N]
+    metals: jnp.ndarray           # f32[N,9] species mass fractions
     sfr: jnp.ndarray              # f32[N] star formation rate
     delay_time: jnp.ndarray       # f32[N] wind decoupling timer
+    he_iii_ionized: jnp.ndarray   # u8[N] QSO HeIII flag
 
     @classmethod
     def zeros(cls, n: int):
+        from ..physics.stars import primordial_metals
         z = jnp.zeros((n,), jnp.float32)
         return cls(entropy=z, dt_entropy=z, density=z, egy_wt_density=z,
                    dhsml_egy_factor=z, dhsml_density_factor=z,
                    div_vel=z, curl_vel=z, max_signal_vel=z,
                    hydro_accel=jnp.zeros((n, 3), jnp.float32),
                    ne=jnp.full((n,), 1.0, jnp.float32), metallicity=z,
-                   sfr=z, delay_time=z)
+                   metals=primordial_metals(n),
+                   sfr=z, delay_time=z,
+                   he_iii_ionized=jnp.zeros((n,), jnp.uint8))

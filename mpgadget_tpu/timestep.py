@@ -133,3 +133,52 @@ def _assign_timebins(grav_accel, grav_pm, valid, atime, eta_eps, hubble,
     bins = jnp.floor(jnp.log2(jnp.maximum(dti, 2.0))).astype(jnp.int32)
     bins = jnp.clip(bins, 1, maxbin)
     return jnp.where(valid, bins, maxbin)
+
+
+@jax.jit
+def _particle_dloga(grav_accel, grav_pm, valid, is_gas, hsml, dt_hsml,
+                    max_signal_vel, atime, eta_eps, hubble,
+                    courant_fac, fac3, max_dloga):
+    """Per-particle combined dloga: gravity acceleration criterion
+    (timestep.c:1063-1073) + Courant/Hsml criteria for gas
+    (timestep.c:1075-1090)."""
+    acc = (grav_accel + grav_pm) / (atime * atime)
+    ac = jnp.sqrt(jnp.maximum(jnp.sum(acc * acc, axis=-1), 1e-60))
+    dloga = jnp.sqrt(eta_eps / ac) * hubble
+    vsig = jnp.maximum(max_signal_vel, 1e-30)
+    dt_c = 2.0 * courant_fac * atime * hsml / (fac3 * vsig)
+    dt_h = courant_fac * atime * atime * jnp.abs(
+        hsml / (dt_hsml + 1e-20))
+    dloga_h = jnp.minimum(dt_c, dt_h) * hubble
+    dloga = jnp.where(is_gas, jnp.minimum(dloga, dloga_h), dloga)
+    return jnp.where(valid, jnp.minimum(dloga, max_dloga), max_dloga)
+
+
+def assign_particle_bins(pdata, sph, gas_mask, CP, atime, softening,
+                         timeline, ti_current, par: TimestepParams,
+                         dti_max):
+    """Per-particle power-of-two timebins (find_timesteps,
+    timestep.c:298-503): gravity + hydro criteria, clamped to
+    [1, bin(dti_max)].  Returns int32[N] bins (device)."""
+    from .utils.constants import GAMMA
+    hubble = CP.hubble_function(atime)
+    eta_eps = 2 * par.ErrTolIntAccuracy * atime * softening
+    fac3 = atime ** (3 * (1 - GAMMA) / 2.0)
+    if sph is not None:
+        msv, hsml, dt_hsml = (sph.max_signal_vel, pdata.hsml,
+                              pdata.dt_hsml)
+    else:
+        z = jnp.zeros(pdata.capacity, jnp.float32)
+        msv = hsml = dt_hsml = z
+        gas_mask = jnp.zeros(pdata.capacity, bool)
+    dloga = _particle_dloga(
+        pdata.grav_accel, pdata.grav_pm, pdata.valid, gas_mask,
+        hsml, dt_hsml, msv, jnp.float32(atime), jnp.float32(eta_eps),
+        jnp.float32(hubble), jnp.float32(par.CourantFac),
+        jnp.float32(fac3), jnp.float32(par.MaxSizeTimestep))
+    dloga_tick = timeline._interval_dloga(ti_current)
+    maxbin = get_timestep_bin(dti_max)
+    dti = dloga / jnp.float32(dloga_tick)
+    bins = jnp.floor(jnp.log2(jnp.maximum(dti, 2.0))).astype(jnp.int32)
+    bins = jnp.clip(bins, 1, maxbin)
+    return jnp.where(pdata.valid, bins, maxbin)

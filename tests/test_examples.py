@@ -1,0 +1,88 @@
+"""Example-config integration test: genic -> run -> FOF through the
+real CLI entry points, asserting the reference CI's golden-value style
+checks (examples/dm-small/check_results.py:8-26 analog) at a reduced
+grid size."""
+
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF_SPECTRUM = "/root/reference/examples/dm-small/class_pk_9.dat"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_SPECTRUM),
+                    reason="reference spectrum table not available")
+def test_dm_small_cli_end_to_end(tmp_path):
+    gen = tmp_path / "paramfile.genic"
+    gad = tmp_path / "paramfile.gadget"
+    # the shipped example at reduced Ngrid / earlier stop for CI speed
+    with open(os.path.join(REPO, "examples/dm-small/paramfile.genic")) \
+            as fh:
+        genic = fh.read()
+    genic = genic.replace("Ngrid = 64", "Ngrid = 24")
+    genic = genic.replace("FileWithInputSpectrum = class_pk_9.dat",
+                          f"FileWithInputSpectrum = {REF_SPECTRUM}")
+    genic = genic.replace("OutputDir = IC", f"OutputDir = {tmp_path}/IC")
+    gen.write_text(genic)
+    with open(os.path.join(REPO,
+                           "examples/dm-small/paramfile.gadget")) as fh:
+        gadget = fh.read()
+    gadget = gadget.replace("InitCondFile = IC/IC",
+                            f"InitCondFile = {tmp_path}/IC/IC")
+    gadget = gadget.replace("OutputDir = output",
+                            f"OutputDir = {tmp_path}/output")
+    # full = the example as shipped (halos by z=3, reference golden
+    # masses scale); quick = stop at z~5.7, FOF schema checks only
+    full = os.environ.get("MPG_FULL_EXAMPLES", "") == "1"
+    if not full:
+        gadget = gadget.replace("OutputList = 0.15,0.2,0.25",
+                                "OutputList = 0.15")
+        gadget = gadget.replace("TimeMax = 0.25", "TimeMax = 0.15")
+    gadget = gadget.replace("Nmesh = 128", "Nmesh = 48")
+    gad.write_text(gadget)
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    subprocess.run(
+        [sys.executable, "-m", "mpgadget_tpu.genic.main", str(gen)],
+        check=True, cwd=REPO, env=env, timeout=600)
+    subprocess.run(
+        [sys.executable, "-m", "mpgadget_tpu.main", str(gad)],
+        check=True, cwd=REPO, env=env, timeout=1200)
+
+    outdir = str(tmp_path / "output")
+    # reference-style golden checks via the shipped script
+    sys.path.insert(0, os.path.join(REPO, "examples/dm-small"))
+    try:
+        import check_results
+        check_results.check_power(outdir, REF_SPECTRUM)
+    finally:
+        sys.path.pop(0)
+    # FOF: halos exist and are massive (reduced box: lower threshold
+    # than the full example's 9e12)
+    from mpgadget_tpu.io.bigfile import BigFile
+    import glob
+    pigs = sorted(glob.glob(os.path.join(outdir, "PIG_*")))
+    assert pigs, "no FOF catalog written"
+    bf = BigFile(pigs[-1])
+    # FOFGroups schema present and self-consistent
+    masses = bf.open("FOFGroups/Mass").read()
+    lbt = bf.open("FOFGroups/LengthByType").read()
+    assert masses.shape[0] == lbt.shape[0]
+    if full:
+        msun = masses * 1e10 / 0.7
+        assert msun.size > 0
+        assert np.max(msun) > 1e13, np.max(msun)
+    # snapshot written and readable at the requested output time
+    snaps = sorted(glob.glob(os.path.join(outdir, "PART_*")))
+    assert snaps
+    from mpgadget_tpu.io import snapshot as snap_io
+    hdr = snap_io.read_header(BigFile(snaps[-1]))
+    a_expect = 0.25 if full else 0.15
+    assert abs(float(hdr.Time) - a_expect) < 1e-3

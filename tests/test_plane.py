@@ -1,0 +1,105 @@
+"""Lensing potential planes (plane.c/lenstools.c analogs): FITS
+round-trip, slab selection/projection, and Poisson-solve properties."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mpgadget_tpu.io.fits import write_fits_image, read_fits_image
+from mpgadget_tpu.physics import plane as P
+from mpgadget_tpu.cosmology import Cosmology
+from mpgadget_tpu.utils import get_unitsystem, constants as C
+
+UNITS = get_unitsystem(C.CM_PER_KPC, 1.989e43, 1e5)
+
+
+def test_fits_round_trip(tmp_path):
+    rng = np.random.RandomState(0)
+    img = rng.randn(32, 48)
+    hdr = [("Z", 1.5, "redshift"), ("NPART", 1234, "count"),
+           ("UNIT", "rad2", "unit")]
+    for double in (False, True):
+        fn = str(tmp_path / f"t{double}.fits")
+        write_fits_image(fn, img, hdr, double=double)
+        # 2880-byte blocking
+        import os
+        assert os.path.getsize(fn) % 2880 == 0
+        data, h = read_fits_image(fn)
+        rtol = 1e-12 if double else 1e-6
+        assert np.allclose(data, img, rtol=rtol, atol=1e-6)
+        assert h["Z"] == 1.5 and h["NPART"] == 1234
+        assert h["UNIT"] == "rad2"
+
+
+def test_project_slab_counts():
+    n = 1000
+    rng = np.random.RandomState(1)
+    ipos = jnp.asarray(rng.randint(0, 2 ** 32, (n, 3)), jnp.uint32)
+    w = jnp.ones(n, jnp.float32)
+    counts, n_plane = P._project_slab(ipos, w, 2, jnp.float32(0.25),
+                                      jnp.float32(0.1), 16)
+    z = np.asarray(ipos[:, 2], np.float64) / 2 ** 32
+    dz = z - 0.25
+    dz -= np.round(dz)
+    inside = np.abs(dz) < 0.1
+    assert int(n_plane) == inside.sum()
+    assert np.isclose(float(jnp.sum(counts)), inside.sum())
+
+
+def test_cut_plane_blob():
+    """A slab with a central overdense blob: finite plane, extremum at
+    the blob, zero mean (DC mode removed)."""
+    cp = Cosmology(Omega0=0.3, OmegaLambda=0.7, HubbleParam=0.7,
+                   TimeBegin=0.5).init_units(UNITS)
+    box = 100000.0
+    rng = np.random.RandomState(2)
+    n_bg = 4096
+    n_blob = 2048
+    pos = rng.uniform(0, box, (n_bg, 3))
+    blob = np.array([0.5, 0.5, 0.5]) * box \
+        + rng.randn(n_blob, 3) * 0.02 * box
+    ipos = np.concatenate([pos, np.mod(blob, box)])
+    ipos_u = jnp.asarray((ipos / box * 2 ** 32).astype(np.uint64)
+                         .astype(np.uint32))
+    w = jnp.ones(len(ipos), jnp.float32)
+    chi = P.comoving_distance(cp, 0.5, 1.0, 1e5)
+    assert chi > 0
+    plane, n_plane = P.cut_plane(
+        ipos_u, w, len(ipos), box, cp, 0.5, normal=2,
+        center=box / 2, thickness=box, resolution=64, chi=chi)
+    assert n_plane == len(ipos)
+    assert np.all(np.isfinite(plane))
+    assert abs(plane.mean()) < 1e-8 * np.abs(plane).max()
+    # extremum within a couple of pixels of the blob center
+    idx = np.unravel_index(np.argmax(np.abs(plane)), plane.shape)
+    assert abs(idx[0] - 32) <= 2 and abs(idx[1] - 32) <= 2, idx
+
+
+def test_write_planes_end_to_end(tmp_path):
+    """write_planes on a small Simulation: files with lenstools headers."""
+    from mpgadget_tpu.particles import ParticleData
+    from mpgadget_tpu.run import Simulation, SimConfig
+    from mpgadget_tpu.timeline import Timeline
+    n = 256
+    box = 50000.0
+    rng = np.random.RandomState(3)
+    pdata = ParticleData.from_numpy(
+        rng.uniform(0, box, (n, 3)), np.zeros((n, 3)),
+        np.full(n, 1.0), np.ones(n, np.int32), np.arange(n) + 1, box)
+    cp = Cosmology(Omega0=0.3, OmegaLambda=0.7, HubbleParam=0.7,
+                   TimeBegin=0.5).init_units(UNITS)
+    cfg = SimConfig(boxsize=box, nmesh=8, output_dir=str(tmp_path),
+                    timeline=Timeline([1.0], TimeIC=0.5, TimeMax=1.0),
+                    units=UNITS, hydro_on=False, tree_grav_on=False)
+    sim = Simulation(cp, pdata, cfg, time_ic=0.5)
+    params = P.PlaneParams(resolution=32, normals=[0, 2],
+                           cut_points=[box / 2])
+    files = P.write_planes(sim, 3, params)
+    assert len(files) == 2
+    data, h = read_fits_image(files[0])
+    assert data.shape == (32, 32)
+    assert np.isclose(h["OMEGA_M"], 0.3)
+    assert np.isclose(h["SIDE"], 50.0)     # Mpc/h
+    assert np.isclose(h["Z"], 1.0 / sim.atime - 1.0)
+    assert h["NPART"] == n
+    assert "snap3_potentialPlane0_normal0" in files[0]

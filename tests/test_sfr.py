@@ -84,10 +84,19 @@ def test_star_spawning_and_conversion(setup):
     convert = jnp.zeros(24, bool).at[0].set(True)  # particle 0 converts
     star_mass = jnp.where(make_star, jnp.float32(1e-3 / 4), 0.0)
     star_mass = star_mass.at[0].set(1e-3)
-    pdata2, sph2, nspawn, ovf = spawn_stars(pdata, sph, make_star,
-                                            convert, star_mass, 1.0)
+    from mpgadget_tpu.physics.stars import StarData
+    sph = sph.replace(density=jnp.full(24, 2.5, jnp.float32))
+    stars = StarData.zeros(24)
+    pdata2, sph2, stars2, nspawn, ovf = spawn_stars(
+        pdata, sph, make_star, convert, star_mass, 0.5, stars=stars)
     assert not bool(ovf)
     assert int(nspawn) == 1
+    # star slot data populated for converted + spawned rows
+    ft = np.asarray(stars2.formation_time)
+    bd = np.asarray(stars2.birth_density)
+    st4 = np.asarray(pdata2.ptype) == 4
+    assert np.all(ft[st4 & np.asarray(pdata2.valid)] == 0.5)
+    assert np.all(bd[st4 & np.asarray(pdata2.valid)] == 2.5)
     ptype = np.asarray(pdata2.ptype)
     valid = np.asarray(pdata2.valid)
     mass = np.asarray(pdata2.mass)

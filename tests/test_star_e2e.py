@@ -59,7 +59,7 @@ WindOn = 1
 WindModel = sh03
 SnapshotWithFOF = 0
 BlackHoleOn = 0
-MetalReturnOn = 0
+MetalReturnOn = 1
 MassiveNuLinRespOn = 0
 DensityIndependentSphOn = 1
 RadiationOn = 0
