@@ -39,6 +39,8 @@ STATE_BLOCKS = (
     BlockSpec(0, "Metallicity", "<f4", "sph", "metallicity"),
     BlockSpec(0, "Metals", "<f4", "sph", "metals"),
     BlockSpec(0, "HeIIIIonized", "u1", "sph", "he_iii_ionized"),
+    BlockSpec(0, "J21", "<f4", "sph", "local_j21"),
+    BlockSpec(0, "ZReionized", "<f4", "sph", "zreion"),
     # -- stars (type 4) ------------------------------------------------
     BlockSpec(4, "StarFormationTime", "<f4", "stars", "formation_time"),
     BlockSpec(4, "BirthDensity", "<f4", "stars", "birth_density"),
@@ -48,6 +50,9 @@ STATE_BLOCKS = (
               "total_mass_returned"),
     BlockSpec(4, "LastEnrichmentMyr", "<f4", "stars",
               "last_enrichment_myr"),
+    # the reference writes this WRONLY (petaio.c:1123); restoring it
+    # keeps halo winds working across restarts
+    BlockSpec(4, "StarVelDisp", "<f4", "stars", "vdisp"),
     # -- black holes (type 5) ------------------------------------------
     BlockSpec(5, "BlackholeMass", "<f4", "bh", "bh_mass"),
     BlockSpec(5, "BlackholeAccretionRate", "<f4", "bh", "mdot"),
@@ -57,6 +62,8 @@ STATE_BLOCKS = (
     BlockSpec(5, "BlackholeKineticFdbkEnergy", "<f4", "bh",
               "kinetic_energy"),
     BlockSpec(5, "StarFormationTime", "<f4", "bh", "formation_time"),
+    BlockSpec(5, "BlackholeMinPotPos", "<f8", "bh", "min_pot_pos"),
+    BlockSpec(5, "BHVelDisp", "<f4", "bh", "vdisp"),
 )
 
 

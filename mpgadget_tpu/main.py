@@ -83,6 +83,20 @@ def build_simulation(paramfile_or_ps, override=None, snapshot=None):
         self_shielding_on=bool(ps["SelfShieldingOn"]),
         photo_ionize_factor=ps["PhotoIonizeFactor"],
         photo_ionization_on=bool(ps["PhotoIonizationOn"]),
+        excursion_set_on=bool(ps["ExcursionSetReionOn"]),
+        uvbg_dim=ps["UVBGdim"],
+        reion_filter_type=ps["ReionFilterType"],
+        rtom_filter_type=ps["RtoMFilterType"],
+        reion_r_bubble_max=ps["ReionRBubbleMax"],
+        reion_r_bubble_min=ps["ReionRBubbleMin"],
+        reion_delta_r_factor=ps["ReionDeltaRFactor"],
+        reion_nion_phot_per_bary=ps["ReionNionPhotPerBary"],
+        alpha_uv=ps["AlphaUV"],
+        escape_fraction_norm=ps["EscapeFractionNorm"],
+        escape_fraction_scaling=ps["EscapeFractionScaling"],
+        uvbg_timestep_myr=ps["UVBGTimestep"],
+        excursion_set_zstart=ps["ExcursionSetZStart"],
+        excursion_set_zstop=ps["ExcursionSetZStop"],
         qso_lightup_on=bool(ps["QSOLightupOn"]),
         reion_hist_file=ps["ReionHistFile"],
         qso_min_mass=ps["QSOMinMass"],
@@ -155,6 +169,9 @@ def build_simulation(paramfile_or_ps, override=None, snapshot=None):
         bhke_eff_rho_factor=ps["BHKE_EffRhoFactor"],
         bhke_eff_cap=ps["BHKE_EffCap"],
         bhke_inj_energy_thr=ps["BHKE_InjEnergyThr"],
+        seed_bh_dyn_mass=ps["SeedBHDynMass"],
+        bh_reposition=bool(ps["BlackHoleRepositionEnabled"]),
+        write_bh_details=bool(ps["WriteBlackHoleDetails"]),
         time_limit_cpu=ps["TimeLimitCPU"],
         auto_snapshot_time=ps["AutoSnapshotTime"],
         output_energy_debug=bool(ps["OutputEnergyDebug"]),

@@ -32,6 +32,7 @@ class BHParams:
     min_fof_mass_for_seed: float = 2.0
     min_mstar_for_seed: float = 5e-4
     seed_bh_dyn_mass: float = -1.0
+    reposition_enabled: bool = False
     kinetic_on: bool = False
     merge_grav_bound: bool = True
     # dynamical friction (bhdynfric.c set_blackhole_dynfric_params)
@@ -62,6 +63,7 @@ class BhData:
     df_accel: jnp.ndarray     # f32[N,3] dynamical friction accel
     kinetic_energy: jnp.ndarray  # f32[N] stored KineticFdbkEnergy
     vdisp: jnp.ndarray        # f32[N] 1D DM velocity dispersion
+    min_pot_pos: jnp.ndarray  # f32[N,3] potential-minimum position
 
     @classmethod
     def zeros(cls, n):
@@ -70,7 +72,8 @@ class BhData:
                    formation_time=z,
                    count_progs=jnp.zeros((n,), jnp.int32),
                    df_accel=jnp.zeros((n, 3), jnp.float32),
-                   kinetic_energy=z, vdisp=z)
+                   kinetic_energy=z, vdisp=z,
+                   min_pot_pos=jnp.zeros((n, 3), jnp.float32))
 
 
 def _bh_pair_setup(ipos, mass, hsml, include, is_bh, boxsize):
@@ -346,7 +349,8 @@ def swallow_and_feedback(par: BHParams, key, *, ipos, mass, hsml,
                          entropy, density, is_bh, is_gas, pid, bh_mass,
                          mdot, bh_density, fbweight, boxsize, atime,
                          dtime, unit_velocity, uu_in_cgs,
-                         kernel_type=2, ke_energy=None, keflag=None):
+                         kernel_type=2, ke_energy=None, keflag=None,
+                         mtrack=None):
     """Gas-side pass: stochastic swallowing + thermal feedback
     (blackhole_feedback_ngbiter, blackhole.c:577-614, 843-868).
 
@@ -425,13 +429,20 @@ def swallow_and_feedback(par: BHParams, key, *, ipos, mass, hsml,
                 "bhrow": jnp.where(near, sfeat["row"], -1.0)}
 
     rows = jnp.arange(n, dtype=jnp.float32)[perm]
+    # sub-resolution accretion: while Mtrack < SeedBHDynMass the
+    # swallow probability uses Mtrack, not the dynamical mass
+    # (blackhole.c:583-588)
+    mdyn = mass
+    if mtrack is not None and par.seed_bh_dyn_mass > 0:
+        mdyn = jnp.where(is_bh & (mtrack < par.seed_bh_dyn_mass),
+                         mtrack, mass)
     out = pairs.pair_reduce(
         pair_fn, nbr, tree, pos_box,
         {"isgas": is_gas[perm].astype(jnp.float32),
          "mass": mass[perm]},
         {"hsml": jnp.where(is_bh, hsml, 0.0)[perm],
          "isbh": is_bh[perm].astype(jnp.float32),
-         "bhmass": bh_mass[perm], "mdyn": mass[perm],
+         "bhmass": bh_mass[perm], "mdyn": mdyn[perm],
          "bhrho": bh_density[perm], "fbw": fbweight[perm],
          "fbe": fb_energy[perm], "ke": ke_rel[perm], "row": rows},
         {"p": "sum", "du": "sum", "dv": "sum", "bhrow": "max"}, 32, 16)
@@ -499,4 +510,88 @@ def seed_black_holes(par: BHParams, cat, pdata, bh: BhData, sph,
         bh_mass=bh.bh_mass.at[rows].set(par.seed_mass),
         mtrack=bh.mtrack.at[rows].set(pdata.mass[rows]),
         formation_time=bh.formation_time.at[rows].set(atime))
+    if par.seed_bh_dyn_mass > 0:
+        # fixed seed dynamical mass (blackhole_make, blackhole.c:1100)
+        pdata = pdata.replace(
+            mass=pdata.mass.at[rows].set(par.seed_bh_dyn_mass))
     return pdata, bh, len(new_bh_rows)
+
+
+def bh_minpot(ipos, hsml, potential, vel, src_mask, is_bh, boxsize):
+    """Minimum-potential neighbor per BH within its kernel
+    (blackhole_minpot_ngbiter, bhdynfric.c:199-231): two pair passes —
+    an argmin key pass over -Potential, then a gather of the matching
+    neighbor's position/velocity.
+
+    Returns (minpot_pos f32[N,3] internal units, minpot_vel f32[N,3],
+    found bool[N]) with rows valid where is_bh."""
+    from ..ops import pairs
+
+    n = ipos.shape[0]
+    include = src_mask | is_bh
+    tree, nbr, perm, inv, pos_box = _bh_pair_setup(
+        ipos, jnp.ones(n, jnp.float32), hsml, include, is_bh, boxsize)
+    inv_box = 1.0 / boxsize
+    hsml_s = jnp.where(is_bh, hsml, 0.0)[perm] * inv_box
+    pot_s = potential[perm]
+    src_s = src_mask[perm].astype(jnp.float32)
+
+    BIG = jnp.float32(1e30)
+
+    def key_fn(dx, r, tmask, smask, tfeat, sfeat):
+        near = (r < tfeat["hsml"]) & (sfeat["src"] > 0)
+        return {"negpot": jnp.where(near, -sfeat["pot"], -BIG)}
+
+    out1 = pairs.pair_reduce(
+        key_fn, nbr, tree, pos_box, {"hsml": hsml_s},
+        {"pot": pot_s, "src": src_s},
+        {"negpot": "max"}, 32, 16)
+    minpot_s = -out1["negpot"]
+
+    def sel_fn(dx, r, tmask, smask, tfeat, sfeat):
+        near = (r < tfeat["hsml"]) & (sfeat["src"] > 0)
+        sel = near & (sfeat["pot"] <= tfeat["minpot"] + 1e-30)
+        w = sel.astype(jnp.float32)
+        # positions relative to the target (periodic-safe), vel direct
+        res = {"n": w}
+        for k in range(3):
+            res[f"dx{k}"] = w * dx[..., k]
+            res[f"v{k}"] = w * sfeat["vel"][..., k]
+        return res
+
+    red = {"n": "sum"}
+    red.update({f"dx{k}": "sum" for k in range(3)})
+    red.update({f"v{k}": "sum" for k in range(3)})
+    out2 = pairs.pair_reduce(
+        sel_fn, nbr, tree, pos_box,
+        {"hsml": hsml_s, "minpot": minpot_s},
+        {"pot": pot_s, "src": src_s, "vel": vel[perm]}, red, 32, 16)
+    cnt = jnp.maximum(out2["n"], 1.0)
+    dxm = jnp.stack([out2[f"dx{k}"] / cnt for k in range(3)], axis=-1)
+    vm = jnp.stack([out2[f"v{k}"] / cnt for k in range(3)], axis=-1)
+    pos_min_box = jnp.mod(pos_box + dxm, 1.0)
+    found = (out2["n"] > 0)[inv] & is_bh
+    return (pos_min_box[inv] * boxsize, vm[inv], found)
+
+
+def apply_mtrack_accretion(mass, mtrack, acc_mass, acc_mom, vel,
+                           is_bh, seed_bh_dyn_mass):
+    """Route swallowed gas mass into Mtrack or the dynamical mass
+    (blackhole_feedback_postprocess, blackhole.c:960-978), on device.
+
+    Returns (mass, mtrack, vel)."""
+    newvel = jnp.where(
+        (acc_mass > 0)[:, None],
+        (vel * mass[:, None] + acc_mom)
+        / jnp.maximum(mass + acc_mass, 1e-30)[:, None], vel)
+    dyn = seed_bh_dyn_mass
+    if dyn <= 0:
+        return mass + jnp.where(is_bh, acc_mass, 0.0), mtrack, newvel
+    seed_regime = is_bh & (mtrack + acc_mass < dyn)
+    transition = is_bh & (~seed_regime) & (mtrack < dyn)
+    regular = is_bh & (mtrack >= dyn)
+    new_mass = jnp.where(transition, mtrack + acc_mass,
+                         jnp.where(regular, mass + acc_mass, mass))
+    new_mtrack = jnp.where(seed_regime, mtrack + acc_mass,
+                           jnp.where(transition, dyn, mtrack))
+    return new_mass, new_mtrack, newvel

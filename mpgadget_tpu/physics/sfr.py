@@ -241,7 +241,7 @@ def _id_uniform(key, pid):
 
 
 def spawn_stars(pdata, sph, make_star, convert, star_mass, atime,
-                stars=None):
+                stars=None, vdisp=None):
     """Create star particles (make_particle_star + slots_split_particle
     analog): full conversions flip ptype in place; partial conversions
     claim invalid rows for the new star and reduce the gas mass.
@@ -307,6 +307,12 @@ def spawn_stars(pdata, sph, make_star, convert, star_mass, atime,
                                      jnp.zeros_like(star_mass)),
             last_enrichment_myr=fill(stars.last_enrichment_myr,
                                      jnp.zeros_like(star_mass)),
+            vdisp=(fill(stars.vdisp, jnp.where(new_star, vdisp, 0.0))
+                   if vdisp is not None else stars.vdisp),
         )
+    # mask of rows that ARE new stars after the scatters (converted
+    # rows in place, spawned rows at dest)
+    new_star_rows = jnp.zeros(n, bool).at[dest].set(
+        spawn, mode="drop") | convert
     # converted star keeps sph data frozen (ignored for type 4)
-    return pdata, sph, stars, nspawn, overflow
+    return pdata, sph, stars, nspawn, overflow, new_star_rows

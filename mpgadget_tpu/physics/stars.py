@@ -23,13 +23,15 @@ class StarData:
     metals: jnp.ndarray              # f32[N,9] metal mass per species
     total_mass_returned: jnp.ndarray  # f32[N] cumulative mass returned
     last_enrichment_myr: jnp.ndarray  # f32[N] age of last enrichment
+    vdisp: jnp.ndarray               # f32[N] DM vel disp at formation
 
     @classmethod
     def zeros(cls, n: int):
         z = jnp.zeros((n,), jnp.float32)
         return cls(formation_time=z, birth_density=z, metallicity=z,
                    metals=jnp.zeros((n, NMETALS), jnp.float32),
-                   total_mass_returned=z, last_enrichment_myr=z)
+                   total_mass_returned=z, last_enrichment_myr=z,
+                   vdisp=z)
 
 
 def primordial_metals(n: int):

@@ -133,15 +133,19 @@ def dm_velocity_dispersion(ipos, vel, mass, is_dm, is_gas, boxsize,
 
     n = ipos.shape[0]
     keys = morton_key(ipos)
-    # tree over DM only (sources); gas targets walk it
-    keys_dm = jnp.where(is_dm, keys, ~jnp.uint64(0))
-    perm = jnp.argsort(keys_dm)
+    # the tree must CONTAIN the gas rows so they can be targets;
+    # sources are filtered to DM inside the pair function (round-1
+    # built the tree over DM only, which silently computed the
+    # dispersion at DM positions instead of the gas)
+    include = is_dm | is_gas
+    keys_in = jnp.where(include, keys, ~jnp.uint64(0))
+    perm = jnp.argsort(keys_in)
     inv = jnp.argsort(perm)
     ipos_s = ipos[perm]
-    valid_s = is_dm[perm]
+    valid_s = include[perm]
     pos_box = ipos_s.astype(jnp.float32) * jnp.float32(2.0 ** -32)
     cap = 2 * n + 64
-    tree = build_tree(keys_dm[perm], ipos_s, mass[perm], valid_s,
+    tree = build_tree(keys_in[perm], ipos_s, mass[perm], valid_s,
                       16, 18, cap, group_max=32)
     group_cap = min((8 * n) // 32 + 64, n + 64)
     leaf_nodes, gc, gh, _, ngr, _ = make_target_groups(
@@ -178,3 +182,170 @@ def dm_velocity_dispersion(ipos, vel, mass, is_dm, is_gas, boxsize,
     var3d = jnp.maximum(out["v2"] / cnt - vmean2, 0.0)
     vdisp = jnp.sqrt(var3d / 3.0)
     return vdisp[inv]
+
+
+def _pair_uniform(a_ids, b_ids):
+    """Deterministic uniform in [0,1) from two particle-ID arrays
+    (the reference's get_random_number(I->ID + P[other].ID) analog,
+    winds.c:548): a splitmix-style integer hash of the ID sum."""
+    x = (a_ids + b_ids).astype(jnp.uint32)
+    x = x ^ (x >> jnp.uint32(16))
+    x = x * jnp.uint32(0x7feb352d)
+    x = x ^ (x >> jnp.uint32(15))
+    x = x * jnp.uint32(0x846ca68b)
+    x = x ^ (x >> jnp.uint32(16))
+    return x.astype(jnp.float32) * jnp.float32(2.0 ** -32)
+
+
+def winds_via_neighbors(par: WindParams, key, *, ipos, mass, hsml, pid,
+                        vel, entropy, density, delay_time, is_gas,
+                        new_star, star_vdisp, boxsize, atime):
+    """Non-subgrid wind kicks: gas NEIGHBORS of newly formed stars are
+    stochastically ejected (winds_and_feedback + sfr_wind_weight/
+    feedback ngbiters, winds.c:299-567).
+
+    Three pair passes through the shared engine, all on one tree over
+    gas + new stars: (1) per-star total gas weight inside its Hsml;
+    (2) per-gas nearest hitting star (kick candidates are resolved to
+    the closest star, winds.c:320-345); (3) that star's kick
+    velocity/heat gathered to the gas.  Returns (vel, entropy,
+    delay_time, kicked mask)."""
+    from ..ops import pairs
+    from ..ops.morton import morton_key
+    from ..gravity.tree import build_tree
+    from ..gravity.treewalk import make_target_groups
+
+    n = ipos.shape[0]
+    include = is_gas | new_star
+    keys = morton_key(ipos)
+    keys = jnp.where(include, keys, ~jnp.uint64(0))
+    perm = jnp.argsort(keys)
+    inv = jnp.argsort(perm)
+    ipos_s = ipos[perm]
+    include_s = include[perm]
+    pos_box = ipos_s.astype(jnp.float32) * jnp.float32(2.0 ** -32)
+    cap = 2 * n + 64
+    G = 32
+    tree = build_tree(keys[perm], ipos_s, mass[perm], include_s,
+                      16, 18, cap, group_max=G)
+    group_cap = min((8 * n) // G + 64, n + 64)
+    leaf_nodes, gc, gh, _, ngr, _ = make_target_groups(
+        tree, pos_box, jnp.full(n, jnp.inf, jnp.float32), group_cap, G)
+    inv_box = 1.0 / boxsize
+
+    is_gas_s = is_gas[perm]
+    new_star_s = new_star[perm]
+    eligible_s = is_gas_s & (delay_time[perm] <= 0)
+    gmass_s = jnp.where(eligible_s, mass[perm], 0.0)
+    hsml_s = jnp.where(new_star_s, hsml[perm], 0.0) * inv_box
+    # ids reduced mod 2^24 so they stay exact in f32 pair features
+    pid_s = (pid[perm] & jnp.int64(0xFFFFFF)).astype(jnp.uint32)
+
+    safe_nodes = jnp.minimum(leaf_nodes, tree.capacity - 1)
+    tps = tree.pstart[safe_nodes]
+    offg = jnp.arange(G, dtype=jnp.int32)
+    tidx = jnp.clip(tps[:, None] + offg[None, :], 0, n - 1)
+    tpc = jnp.where(leaf_nodes < tree.n_nodes,
+                    tree.pcount[safe_nodes], 0)
+    tm = offg[None, :] < tpc[:, None]
+    gradius = jnp.max(jnp.where(tm, hsml_s[tidx], 0.0), axis=1)
+
+    # -- pass 1: per-star total gas weight (sfr_wind_weight, wk=1) ----
+    def weight_fn(dx, r, tmask, smask, tfeat, sfeat):
+        inside = (r < tfeat["hsml"]) & (sfeat["gm"] > 0)
+        return {"w": jnp.where(inside, sfeat["gm"], 0.0)}
+
+    ll = 256
+    for _ in range(4):
+        nbr = pairs.find_neighbors(tree, leaf_nodes, gc, gh, gradius,
+                                   None, ll, symmetric=False)
+        if not bool(jnp.any(nbr.overflow)):
+            break
+        ll *= 2
+    out = pairs.pair_reduce(
+        weight_fn, nbr, tree, pos_box, {"hsml": hsml_s},
+        {"gm": gmass_s}, {"w": "sum"}, G, 16)
+    total_weight_s = out["w"]
+
+    # -- pass 2+3: gas <- star candidate kicks --------------------------
+    lf_ids, n_lf, _ = pairs.compact_leaves(tree, cap)
+    hmax = pairs.node_hmax(tree, lf_ids, n_lf, hsml_s, 16)
+    wvel_s, windeff_s, utherm_s = get_wind_kick(
+        par, jnp.where(new_star_s, star_vdisp[perm], 0.0), atime)
+    p_s = windeff_s * mass[perm] / jnp.maximum(total_weight_s, 1e-30)
+    star_ok_s = new_star_s & (total_weight_s > 0) & (wvel_s > 0) \
+        & (star_vdisp[perm] > 0)
+
+    def hit(r, tfeat, sfeat):
+        u = _pair_uniform(sfeat["sid"].astype(jnp.uint32),
+                          tfeat["tid"].astype(jnp.uint32))
+        return ((r < sfeat["hsml"]) & (sfeat["ok"] > 0)
+                & (tfeat["elig"] > 0) & (u < sfeat["p"]))
+
+    BIGR = jnp.float32(4.0)
+
+    def near_fn(dx, r, tmask, smask, tfeat, sfeat):
+        h = hit(r, tfeat, sfeat)
+        return {"rkey": jnp.where(h, BIGR - r, -jnp.inf)}
+
+    for _ in range(4):
+        nbr2 = pairs.find_neighbors(
+            tree, leaf_nodes, gc, gh,
+            jnp.zeros(gc.shape[0], jnp.float32), hmax, ll,
+            symmetric=True)
+        if not bool(jnp.any(nbr2.overflow)):
+            break
+        ll *= 2
+    # float ID features: pair_uniform needs integer-ish values; pass
+    # the uint32 ids bit-cast through float32 is lossy, so use two
+    # feature arrays holding the low/high 16 bits exactly.
+    tidf = pid_s.astype(jnp.float32)
+    tfeats = {"tid": tidf, "elig": eligible_s.astype(jnp.float32)}
+    sfeats = {"sid": tidf, "hsml": hsml_s,
+              "ok": star_ok_s.astype(jnp.float32), "p": p_s}
+    out2 = pairs.pair_reduce(near_fn, nbr2, tree, pos_box, tfeats,
+                             sfeats, {"rkey": "max"}, G, 16)
+    rkey_s = out2["rkey"]
+
+    def kick_fn(dx, r, tmask, smask, tfeat, sfeat):
+        h = hit(r, tfeat, sfeat)
+        sel = h & (jnp.abs((BIGR - r) - tfeat["rkey"]) < 1e-9)
+        w = sel.astype(jnp.float32)
+        return {"v": w * sfeat["v"], "ut": w * sfeat["ut"],
+                "n": w}
+
+    tfeats2 = dict(tfeats)
+    tfeats2["rkey"] = rkey_s
+    sfeats2 = dict(sfeats)
+    sfeats2["v"] = jnp.where(star_ok_s, wvel_s, 0.0)
+    sfeats2["ut"] = jnp.where(star_ok_s, utherm_s, 0.0)
+    out3 = pairs.pair_reduce(kick_fn, nbr2, tree, pos_box, tfeats2,
+                             sfeats2, {"v": "sum", "ut": "sum",
+                                       "n": "sum"}, G, 16)
+    nsel = jnp.maximum(out3["n"], 1.0)
+    v_g = (out3["v"] / nsel)[inv]
+    ut_g = (out3["ut"] / nsel)[inv]
+    kicked = (out3["n"] > 0)[inv] & is_gas & (delay_time <= 0)
+
+    # -- wind_do_kick, vectorized (winds.c:454-489) -------------------
+    ids32 = pid.astype(jnp.int64)
+    u1 = _id_uniform(key, ids32 + 3)
+    u2 = _id_uniform(key, ids32 + 4)
+    costheta = 2 * u1 - 1
+    sintheta = jnp.sqrt(jnp.maximum(1 - costheta ** 2, 0.0))
+    phi = 2 * np.pi * u2
+    direction = jnp.stack([sintheta * jnp.cos(phi),
+                           sintheta * jnp.sin(phi), costheta], axis=-1)
+    vel_new = vel + jnp.where(kicked[:, None], v_g[:, None] * direction,
+                              0.0)
+    a3inv = 1.0 / atime ** 3
+    enttou = (density * a3inv) ** C.GAMMA_MINUS1 / C.GAMMA_MINUS1
+    ent_new = entropy + jnp.where(
+        kicked, ut_g / jnp.maximum(enttou, 1e-30), 0.0)
+    if par.model & WIND_DECOUPLE_SPH and par.max_free_travel_time > 0:
+        delay = par.free_travel_length / jnp.maximum(v_g / atime, 1e-30)
+        delay = jnp.minimum(delay, par.max_free_travel_time)
+        delay_new = jnp.where(kicked, delay, delay_time)
+    else:
+        delay_new = delay_time
+    return vel_new, ent_new, delay_new, kicked

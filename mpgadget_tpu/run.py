@@ -73,6 +73,21 @@ class SimConfig:
     helium_heat_thresh: float = 10.0
     helium_heat_amp: float = 1.0
     helium_heat_exp: float = 0.0
+    # excursion-set reionization (uvbg.c)
+    excursion_set_on: bool = False
+    uvbg_dim: int = 64
+    reion_filter_type: int = 0
+    rtom_filter_type: int = 0
+    reion_r_bubble_max: float = 20340.0
+    reion_r_bubble_min: float = 406.8
+    reion_delta_r_factor: float = 1.1
+    reion_nion_phot_per_bary: float = 4000.0
+    alpha_uv: float = 3.0
+    escape_fraction_norm: float = 0.2
+    escape_fraction_scaling: float = 0.5
+    uvbg_timestep_myr: float = 10.0
+    excursion_set_zstart: float = 25.0
+    excursion_set_zstop: float = 5.0
     # QSO helium reionization (cooling_qso_lightup.c)
     qso_lightup_on: bool = False
     reion_hist_file: str = ""
@@ -136,6 +151,9 @@ class SimConfig:
     bhke_eff_rho_factor: float = 0.05
     bhke_eff_cap: float = 0.05
     bhke_inj_energy_thr: float = 5.0
+    seed_bh_dyn_mass: float = -1.0
+    bh_reposition: bool = False
+    write_bh_details: bool = False
     # control
     time_limit_cpu: float = 0.0
     auto_snapshot_time: float = 0.0
@@ -718,6 +736,7 @@ class Simulation:
             from .physics.cooling import local_uvbg
             uvbg = local_uvbg(uvbg, self._uvf.zreion(self.pdata.ipos),
                               redshift)
+        uvbg = self._excursion_uvbg(uvbg, redshift)
         a3 = atime ** 3
         rho_phys = jnp.maximum(self.sph.density, 1e-30) / a3
         u = self.sph.entropy / GAMMA_MINUS1 * rho_phys ** GAMMA_MINUS1
@@ -837,6 +856,7 @@ class Simulation:
             from .physics.cooling import local_uvbg
             uvbg = local_uvbg(uvbg, self._uvf.zreion(self.pdata.ipos),
                               redshift)
+        uvbg = self._excursion_uvbg(uvbg, redshift)
         key = jax.random.PRNGKey(
             (self.cfg.random_seed + self.ti_current) % (2 ** 31))
 
@@ -858,42 +878,64 @@ class Simulation:
         self.sph = self.sph.replace(
             entropy=out["entropy"], ne=out["ne"], sfr=out["sfr"],
             metallicity=out["metallicity"])
-        # winds (subgrid: kick the SF gas; halo: uses DM vel dispersion)
-        if self.cfg.wind_on:
-            from .physics import winds as windmod
-            wkey = jax.random.fold_in(key, 77)
-            vdisp = getattr(self, "_vdisp",
-                            jnp.zeros(self.pdata.capacity, jnp.float32))
+        # subgrid winds kick the star-forming gas itself BEFORE
+        # spawning (winds_make_after_sf); non-subgrid models (vs08,
+        # ofjt10) kick NEIGHBORS of the new stars after spawning
+        # (winds_and_feedback, winds.c:299-345)
+        from .physics import winds as windmod
+        wkey = jax.random.fold_in(key, 77)
+        vdisp = getattr(self, "_vdisp",
+                        jnp.zeros(self.pdata.capacity, jnp.float32))
+        subgrid = bool(self.cfg.wind_model & windmod.WIND_SUBGRID)
+        if self.cfg.wind_on and subgrid:
             vel_new, ent_new, delay_new, kicked = windmod.winds_subgrid(
                 self._winds, wkey, sm=out["sm"], mass=self.pdata.mass,
                 pid=self.pdata.pid, vdisp=vdisp, vel=self.pdata.vel,
                 entropy=self.sph.entropy, density=self.sph.density,
                 delay_time=self.sph.delay_time,
-                eligible=out["on_eeqos"] if (self.cfg.wind_model
-                                             & 1) else out["make_star"],
-                atime=atime)
+                eligible=out["on_eeqos"], atime=atime)
             self.pdata = self.pdata.replace(vel=vel_new)
             self.sph = self.sph.replace(entropy=ent_new,
                                         delay_time=delay_new)
-            # advance decoupling timers
+        nstar = int(jnp.sum(out["make_star"].astype(jnp.int32)))
+        new_star = None
+        if nstar > 0:
+            if self.stars is None:
+                from .physics.stars import StarData
+                self.stars = StarData.zeros(self.pdata.capacity)
+            self.pdata, self.sph, self.stars, nspawn, ovf, new_star = \
+                sfrmod.spawn_stars(
+                    self.pdata, self.sph, out["make_star"],
+                    out["convert"], out["star_mass"], atime,
+                    stars=self.stars,
+                    vdisp=getattr(self, "_vdisp", None))
+            if bool(ovf):
+                raise RuntimeError("particle capacity exhausted while "
+                                   "spawning stars; raise PartAllocFactor")
+        if self.cfg.wind_on and not subgrid and new_star is not None:
+            self.walltime.start("Winds")
+            vel_new, ent_new, delay_new, kicked = \
+                windmod.winds_via_neighbors(
+                    self._winds, wkey, ipos=self.pdata.ipos,
+                    mass=self.pdata.mass, hsml=self.pdata.hsml,
+                    pid=self.pdata.pid, vel=self.pdata.vel,
+                    entropy=self.sph.entropy,
+                    density=self.sph.density,
+                    delay_time=self.sph.delay_time,
+                    is_gas=self.gas_mask, new_star=new_star,
+                    star_vdisp=self.stars.vdisp,
+                    boxsize=self.cfg.boxsize, atime=atime)
+            self.pdata = self.pdata.replace(vel=vel_new)
+            self.sph = self.sph.replace(entropy=ent_new,
+                                        delay_time=delay_new)
+            self.walltime.stop("Winds")
+        if self.cfg.wind_on:
+            # advance decoupling timers (winds_evolve)
             hubble_now = self.CP.hubble_function(atime)
             self.sph = self.sph.replace(
                 delay_time=windmod.winds_decouple_update(
                     self._winds, self.sph.delay_time,
                     self.sph.density, dloga / hubble_now, atime))
-        nstar = int(jnp.sum(out["make_star"].astype(jnp.int32)))
-        if nstar > 0:
-            if self.stars is None:
-                from .physics.stars import StarData
-                self.stars = StarData.zeros(self.pdata.capacity)
-            self.pdata, self.sph, self.stars, nspawn, ovf = \
-                sfrmod.spawn_stars(
-                    self.pdata, self.sph, out["make_star"],
-                    out["convert"], out["star_mass"], atime,
-                    stars=self.stars)
-            if bool(ovf):
-                raise RuntimeError("particle capacity exhausted while "
-                                   "spawning stars; raise PartAllocFactor")
         # sfr.txt (stats.c:75-168 analog)
         total_sfr = float(jnp.sum(out["sfr"]))
         with open(os.path.join(self.cfg.output_dir, "sfr.txt"),
@@ -1219,6 +1261,11 @@ class Simulation:
                     dti, self.ti_current - dti))
             if self.cfg.plane_output_list:
                 self._maybe_write_planes()
+            if self.cfg.lightcone_on:
+                self._run_lightcone(dti)
+            if (self.cfg.excursion_set_on and self.has_gas
+                    and self._gas_initialized):
+                self._run_excursion_set()
             sp = self.timeline.find_current_sync_point(self.ti_current)
             if sp is not None and sp.write_snapshot:
                 self.write_snapshot()
@@ -1242,6 +1289,107 @@ class Simulation:
         return nsteps
 
     # -- black holes ----------------------------------------------------
+
+    def _excursion_uvbg(self, uvbg, redshift):
+        """During the excursion epoch the cooling UVB comes from the
+        per-particle J21 grid: neutral cells see no background
+        (excursionset_rundown.md; after ZStop revert to the global
+        table)."""
+        if not self.cfg.excursion_set_on or self.sph is None:
+            return uvbg
+        if not (self.cfg.excursion_set_zstop <= redshift
+                <= self.cfg.excursion_set_zstart):
+            return uvbg
+        from .physics.uvbg import j21_to_rates
+        from .physics.cooling import UVBG
+        g, e = j21_to_rates(self.sph.local_j21, self.cfg.alpha_uv)
+        return UVBG(gJH0=g[0], gJHe0=g[1], gJHep=g[2],
+                    epsH0=e[0], epsHe0=e[1], epsHep=e[2],
+                    self_shield_dens=uvbg.self_shield_dens)
+
+    def _run_excursion_set(self):
+        """Excursion-set UVBG update at the UVBGTimestep cadence
+        (calculate_uvbg, uvbg.c:506-594)."""
+        from .physics import uvbg as uvmod
+        atime = self.atime
+        z = 1.0 / atime - 1.0
+        if not (self.cfg.excursion_set_zstop <= z
+                <= self.cfg.excursion_set_zstart):
+            return
+        if getattr(self, "_uvbg_params", None) is None:
+            self._uvbg_params = uvmod.UVBGParams(
+                uvbg_dim=self.cfg.uvbg_dim,
+                r_bubble_max=self.cfg.reion_r_bubble_max,
+                r_bubble_min=self.cfg.reion_r_bubble_min,
+                delta_r_factor=self.cfg.reion_delta_r_factor,
+                filter_type=self.cfg.reion_filter_type,
+                rtom_filter_type=self.cfg.rtom_filter_type,
+                nion_phot_per_bary=self.cfg.reion_nion_phot_per_bary,
+                alpha_uv=self.cfg.alpha_uv,
+                escape_frac_norm=self.cfg.escape_fraction_norm,
+                escape_frac_scaling=self.cfg.escape_fraction_scaling,
+                zstart=self.cfg.excursion_set_zstart,
+                zstop=self.cfg.excursion_set_zstop,
+                timestep_myr=self.cfg.uvbg_timestep_myr)
+            self._uvbg_last_myr = -1e30
+            if getattr(self, "_age_table", None) is None:
+                from .physics.metal_return import AgeTable
+                self._age_table = AgeTable(
+                    self.CP.hubble_function, self.cfg.units,
+                    self.CP.HubbleParam)
+        t_myr = float(self._age_table(atime))
+        if t_myr - self._uvbg_last_myr < self.cfg.uvbg_timestep_myr:
+            return
+        self._uvbg_last_myr = t_myr
+        self.walltime.start("UVBG")
+        # per-particle escape fractions from FOF halo mass
+        cat = self.run_fof(save=False)
+        gi = cat["group_index"]
+        halo_mass = np.zeros(self.pdata.capacity, np.float32)
+        ok = np.asarray(gi) >= 0
+        halo_mass[ok] = np.asarray(cat["masses"])[np.asarray(gi)[ok]]
+        fesc = uvmod.escape_fractions(
+            jnp.asarray(halo_mass), self._uvbg_params.escape_frac_norm,
+            self._uvbg_params.escape_frac_scaling,
+            self.cfg.units.UnitMass_in_g, self.CP.HubbleParam)
+        is_star = self.pdata.valid & (self.pdata.ptype == 4)
+        out = uvmod.calculate_uvbg(
+            self.pdata.ipos, self.pdata.mass, self.pdata.valid,
+            self.gas_mask, is_star, self.sph.sfr, fesc,
+            self._uvbg_params, self.CP, self.cfg.units,
+            self.cfg.boxsize, atime)
+        self._uvbg_grids = out
+        j21_p = uvmod.readout_j21_max(out["j21"], self.pdata.ipos)
+        newly = self.gas_mask & (j21_p > self.sph.local_j21) \
+            & (self.sph.zreion < 0)
+        self.sph = self.sph.replace(
+            local_j21=jnp.where(self.gas_mask,
+                                jnp.maximum(self.sph.local_j21, j21_p),
+                                self.sph.local_j21),
+            zreion=jnp.where(newly, jnp.float32(z), self.sph.zreion))
+        self.walltime.stop("UVBG")
+        print(f"[UVBG] z={z:.2f} vol xHI="
+              f"{out['volume_weighted_global_xHI']:.4f} mass xHI="
+              f"{out['mass_weighted_global_xHI']:.4f}")
+
+    def _run_lightcone(self, dti):
+        """Append horizon-crossing particles (lightcone_compute,
+        lightcone.c:176-190) once per step."""
+        from .physics.lightcone import Lightcone
+        if getattr(self, "_lightcone", None) is None:
+            self._lightcone = Lightcone(
+                self.CP, self.time_ic,
+                self.cfg.units.UnitVelocity_in_cm_per_s,
+                self.cfg.output_dir, self.cfg.boxsize)
+        t0 = self.ti_current - dti
+        ddrift = self.tf.drift(t0, self.ti_current)
+        pos = jnp.asarray(self._output_pos(), jnp.float32)
+        is_dm = self.pdata.valid & (self.pdata.ptype == 1)
+        self.walltime.start("Lightcone")
+        self._lightcone.compute(self.atime, ddrift, pos,
+                                self.pdata.vel, is_dm,
+                                self.pdata.pid)
+        self.walltime.stop("Lightcone")
 
     def _maybe_write_planes(self):
         """Write lensing potential planes for any plane output times
@@ -1321,7 +1469,9 @@ class Simulation:
             ke_eff_rho_factor=self.cfg.bhke_eff_rho_factor,
             ke_eff_cap=self.cfg.bhke_eff_cap,
             ke_inj_energy_thr=self.cfg.bhke_inj_energy_thr,
-            ke_sfr_crit_overdensity=self.cfg.crit_overdensity)
+            ke_sfr_crit_overdensity=self.cfg.crit_overdensity,
+            seed_bh_dyn_mass=self.cfg.seed_bh_dyn_mass,
+            reposition_enabled=self.cfg.bh_reposition)
 
     def apply_blackholes(self, dloga):
         """BH accretion + swallowing + thermal feedback (blackhole(),
@@ -1412,7 +1562,8 @@ class Simulation:
             unit_velocity=self.cfg.units.UnitVelocity_in_cm_per_s,
             uu_in_cgs=self.cfg.units.UnitInternalEnergy_in_cgs,
             kernel_type=self.cfg.density_kernel_type,
-            ke_energy=ke_energy, keflag=keflag)
+            ke_energy=ke_energy, keflag=keflag,
+            mtrack=self.bh.mtrack)
         self.sph = self.sph.replace(entropy=ent_new)
         if par.kinetic_on:
             self.pdata = self.pdata.replace(
@@ -1420,26 +1571,28 @@ class Simulation:
             # reset released energy (blackhole.c:986-989)
             self.bh = self.bh.replace(kinetic_energy=jnp.where(
                 keflag == 2, 0.0, ke_energy))
-        # finalize swallowing on host: add mass+momentum to swallowers
+        # finalize swallowing ON DEVICE: segment-sum swallowed mass and
+        # momentum by swallower row, then route through Mtrack
+        # (blackhole_feedback_postprocess, blackhole.c:960-978)
         nsw = int(jnp.sum(swallowed.astype(jnp.int32)))
         if nsw > 0:
-            sw = np.asarray(swallowed)
-            rows = np.asarray(bhrow)[sw]
-            m = np.asarray(self.pdata.mass)
-            v = np.asarray(self.pdata.vel)
-            mom = m[sw, None] * v[sw]
-            newmass = m.copy()
-            newmom = m[:, None] * v
-            np.add.at(newmass, rows, m[sw])
-            np.add.at(newmom, rows, mom)
-            newvel = np.where((newmass > 0)[:, None],
-                              newmom / np.maximum(newmass, 1e-30)[:, None],
-                              v)
-            valid = np.array(self.pdata.valid)
-            valid[sw] = False
+            n = self.pdata.capacity
+            m = self.pdata.mass
+            v = self.pdata.vel
+            rows = jnp.where(swallowed, bhrow, n)
+            acc_mass = jnp.zeros(n, jnp.float32).at[rows].add(
+                jnp.where(swallowed, m, 0.0), mode="drop")
+            acc_mom = jnp.zeros((n, 3), jnp.float32).at[rows].add(
+                jnp.where(swallowed[:, None], m[:, None] * v, 0.0),
+                mode="drop")
+            new_mass, new_mtrack, new_vel = \
+                bhmod.apply_mtrack_accretion(
+                    m, self.bh.mtrack, acc_mass, acc_mom, v, is_bh,
+                    par.seed_bh_dyn_mass)
             self.pdata = self.pdata.replace(
-                mass=jnp.asarray(newmass), vel=jnp.asarray(newvel),
-                valid=jnp.asarray(valid))
+                mass=new_mass, vel=new_vel,
+                valid=self.pdata.valid & ~swallowed)
+            self.bh = self.bh.replace(mtrack=new_mtrack)
         # BH-BH mergers (blackhole.c:495-560)
         nmerge = 0
         if nbh > 1:
@@ -1466,9 +1619,17 @@ class Simulation:
                 v = np.array(self.pdata.vel)
                 bhm = np.array(self.bh.bh_mass)
                 progs = np.array(self.bh.count_progs)
+                # a swallowed BH still in its Mtrack regime donates its
+                # tracked mass, not the fixed dynamical seed mass
+                # (blackhole.c:795-798)
+                othermass = m[swr]
+                if par.seed_bh_dyn_mass > 0:
+                    mtk = np.array(self.bh.mtrack)
+                    sub = mtk[swr] < par.seed_bh_dyn_mass
+                    othermass = np.where(sub, mtk[swr], othermass)
                 mom = m[:, None] * v
-                np.add.at(mom, tor, m[swr, None] * v[swr])
-                np.add.at(m, tor, m[swr])
+                np.add.at(mom, tor, othermass[:, None] * v[swr])
+                np.add.at(m, tor, othermass)
                 np.add.at(bhm, tor, bhm[swr])
                 np.add.at(progs, tor, progs[swr] + 1)
                 v = np.where((m > 0)[:, None],
@@ -1481,6 +1642,25 @@ class Simulation:
                 self.bh = self.bh.replace(
                     bh_mass=jnp.asarray(bhm),
                     count_progs=jnp.asarray(progs))
+        # minimum-potential repositioning (blackhole_minpot_ngbiter,
+        # bhdynfric.c:199-231 + drift.c:32-49 jump, applied here at
+        # the end of the BH step instead of the next drift)
+        if par.reposition_enabled:
+            is_bh_now = self.pdata.valid & (self.pdata.ptype == 5)
+            srcs = self.pdata.valid & (
+                (self.pdata.ptype == 0) | (self.pdata.ptype == 1)
+                | (self.pdata.ptype == 4) | (self.pdata.ptype == 5))
+            mp_pos, mp_vel, found = bhmod.bh_minpot(
+                self.pdata.ipos, self.pdata.hsml,
+                self.pdata.potential, self.pdata.vel, srcs, is_bh_now,
+                self.cfg.boxsize)
+            self.bh = self.bh.replace(
+                min_pot_pos=jnp.where(found[:, None], mp_pos,
+                                      self.bh.min_pot_pos))
+            ip_new = pos_to_fixed(mp_pos, self.cfg.boxsize)
+            self.pdata = self.pdata.replace(
+                ipos=jnp.where(found[:, None], ip_new,
+                               self.pdata.ipos))
         self.walltime.stop("BH")
         # blackholes.txt (stats.c analog)
         mdot_tot = float(jnp.sum(self.bh.mdot))
@@ -1488,6 +1668,36 @@ class Simulation:
         with open(os.path.join(self.cfg.output_dir, "blackholes.txt"),
                   "a") as fh:
             fh.write(f"{atime:g} {nbh} {mbh_tot:g} {mdot_tot:g} {nsw}\n")
+        if self.cfg.write_bh_details:
+            self._write_bh_details(atime)
+
+    def _write_bh_details(self, atime):
+        """Per-step per-BH detail records (bhinfo.c:1-204 analog).
+
+        Binary stream of fixed-layout float64 rows appended to
+        BlackholeDetails/BH-Details-R0; layout documented in
+        tools/read_bh_details.py."""
+        is_bh = np.asarray(self.pdata.valid) \
+            & (np.asarray(self.pdata.ptype) == 5)
+        rows = np.flatnonzero(is_bh)
+        if rows.size == 0:
+            return
+        pos = self._output_pos()[rows]
+        rec = np.zeros((rows.size, 12), np.float64)
+        rec[:, 0] = np.asarray(self.pdata.pid)[rows]
+        rec[:, 1] = atime
+        rec[:, 2] = np.asarray(self.bh.bh_mass)[rows]
+        rec[:, 3] = np.asarray(self.bh.mdot)[rows]
+        rec[:, 4] = np.asarray(self.bh.bh_density)[rows]
+        rec[:, 5:8] = pos
+        rec[:, 8] = np.asarray(self.pdata.mass)[rows]
+        rec[:, 9] = np.asarray(self.bh.mtrack)[rows]
+        rec[:, 10] = np.asarray(self.bh.count_progs)[rows]
+        rec[:, 11] = np.asarray(self.bh.kinetic_energy)[rows]
+        d = os.path.join(self.cfg.output_dir, "BlackholeDetails")
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "BH-Details-R0"), "ab") as fh:
+            fh.write(rec.tobytes())
 
     def seed_black_holes_from_fof(self, cat):
         from .physics import blackhole as bhmod

@@ -27,6 +27,8 @@ class SphData:
     sfr: jnp.ndarray              # f32[N] star formation rate
     delay_time: jnp.ndarray       # f32[N] wind decoupling timer
     he_iii_ionized: jnp.ndarray   # u8[N] QSO HeIII flag
+    local_j21: jnp.ndarray        # f32[N] excursion-set J21
+    zreion: jnp.ndarray           # f32[N] reionization redshift (-1)
 
     @classmethod
     def zeros(cls, n: int):
@@ -39,4 +41,6 @@ class SphData:
                    ne=jnp.full((n,), 1.0, jnp.float32), metallicity=z,
                    metals=primordial_metals(n),
                    sfr=z, delay_time=z,
-                   he_iii_ionized=jnp.zeros((n,), jnp.uint8))
+                   he_iii_ionized=jnp.zeros((n,), jnp.uint8),
+                   local_j21=z,
+                   zreion=jnp.full((n,), -1.0, jnp.float32))

@@ -256,3 +256,55 @@ def test_kinetic_update():
     flag = np.asarray(flag)
     assert ke1[0] > 0 and flag[0] == 2   # accumulated, above 0 thresh
     assert ke1[1] == 0 and flag[1] == 0  # Eddington: not accumulating
+
+
+def test_mtrack_accretion_routing():
+    """blackhole.c:960-978: swallowed mass fills Mtrack up to
+    SeedBHDynMass before growing the dynamical mass."""
+    from mpgadget_tpu.physics.blackhole import apply_mtrack_accretion
+    n = 4
+    is_bh = jnp.asarray([True, True, True, False])
+    mass = jnp.asarray([2.0, 2.0, 2.0, 1.0], jnp.float32)   # dyn = 2
+    mtrack = jnp.asarray([0.5, 1.9, 2.0, 0.0], jnp.float32)
+    acc = jnp.asarray([0.4, 0.4, 0.4, 0.0], jnp.float32)
+    vel = jnp.zeros((n, 3), jnp.float32)
+    mom = jnp.zeros((n, 3), jnp.float32)
+    m2, mt2, v2 = apply_mtrack_accretion(mass, mtrack, acc, mom, vel,
+                                         is_bh, 2.0)
+    m2, mt2 = np.asarray(m2), np.asarray(mt2)
+    # BH 0: still seed regime -> Mtrack grows, mass fixed
+    assert np.isclose(mt2[0], 0.9) and np.isclose(m2[0], 2.0)
+    # BH 1: transitions -> mass = mtrack + acc, mtrack capped
+    assert np.isclose(m2[1], 2.3) and np.isclose(mt2[1], 2.0)
+    # BH 2: regular -> mass grows
+    assert np.isclose(m2[2], 2.4) and np.isclose(mt2[2], 2.0)
+    # non-BH untouched
+    assert np.isclose(m2[3], 1.0)
+
+
+def test_bh_minpot_finds_potential_minimum():
+    """bhdynfric.c:199-231: the BH relocates to its deepest-potential
+    neighbor inside the kernel."""
+    from mpgadget_tpu.physics.blackhole import bh_minpot
+    box = 1000.0
+    rng = np.random.RandomState(4)
+    n = 64
+    pos = (box / 2 + rng.uniform(-50, 50, (n, 3))) % box
+    ipos = jnp.asarray((pos / box * 2 ** 32).astype(np.uint64)
+                       .astype(np.uint32))
+    is_bh = jnp.zeros(n, bool).at[0].set(True)
+    src = jnp.ones(n, bool)
+    pot = jnp.asarray(rng.rand(n).astype(np.float32))
+    deepest = 17
+    pot = pot.at[deepest].set(-5.0)
+    hsml = jnp.where(is_bh, 200.0, 0.0)
+    vel = jnp.asarray(rng.randn(n, 3).astype(np.float32))
+    mp_pos, mp_vel, found = bh_minpot(ipos, hsml, pot, vel, src,
+                                      is_bh, box)
+    assert bool(found[0])
+    got = np.asarray(mp_pos)[0]
+    d = got - pos[deepest]
+    d -= box * np.round(d / box)
+    assert np.linalg.norm(d) < 1e-2 * box, (got, pos[deepest])
+    assert np.allclose(np.asarray(mp_vel)[0],
+                       np.asarray(vel)[deepest], atol=1e-5)

@@ -54,7 +54,7 @@ def test_dm_small_cli_end_to_end(tmp_path):
         check=True, cwd=REPO, env=env, timeout=600)
     subprocess.run(
         [sys.executable, "-m", "mpgadget_tpu.main", str(gad)],
-        check=True, cwd=REPO, env=env, timeout=1200)
+        check=True, cwd=REPO, env=env, timeout=2400)
 
     outdir = str(tmp_path / "output")
     # reference-style golden checks via the shipped script

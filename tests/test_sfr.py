@@ -87,10 +87,12 @@ def test_star_spawning_and_conversion(setup):
     from mpgadget_tpu.physics.stars import StarData
     sph = sph.replace(density=jnp.full(24, 2.5, jnp.float32))
     stars = StarData.zeros(24)
-    pdata2, sph2, stars2, nspawn, ovf = spawn_stars(
+    pdata2, sph2, stars2, nspawn, ovf, new_star = spawn_stars(
         pdata, sph, make_star, convert, star_mass, 0.5, stars=stars)
     assert not bool(ovf)
     assert int(nspawn) == 1
+    ns = np.asarray(new_star)
+    assert ns[0] and ns.sum() == 2  # converted row + spawned row
     # star slot data populated for converted + spawned rows
     ft = np.asarray(stars2.formation_time)
     bd = np.asarray(stars2.birth_density)
@@ -138,3 +140,64 @@ def test_cooling_and_sfr_pipeline(setup):
     assert np.all(np.asarray(out["entropy"]) > 0)
     # dense gas relaxed toward the eEOS: entropy changed
     assert not np.allclose(np.asarray(out["entropy"])[:n // 2], 1e3)
+
+
+def test_winds_via_neighbors_kicks_gas_near_new_stars():
+    """Non-subgrid winds (winds.c:299-567): neighbors of a new star
+    are kicked with the halo-model velocity; gas outside the star's
+    Hsml and decoupled gas are untouched."""
+    import jax
+    from mpgadget_tpu.physics import winds as W
+
+    box = 1000.0
+    rng = np.random.RandomState(3)
+    ngas = 64
+    n = ngas + 1
+    # gas clustered around the center; star at the center
+    pos = np.vstack([
+        (box / 2 + rng.uniform(-40, 40, (ngas, 3))) % box,
+        [[box / 2, box / 2, box / 2]]])
+    ptype = np.concatenate([np.zeros(ngas, np.int32), [4]])
+    ipos = jnp.asarray((pos / box * 2 ** 32).astype(np.uint64)
+                       .astype(np.uint32))
+    mass = jnp.full(n, 1.0, jnp.float32)
+    hsml = jnp.full(n, 60.0, jnp.float32)
+    pid = jnp.arange(1, n + 1, dtype=jnp.int64)
+    vel = jnp.zeros((n, 3), jnp.float32)
+    entropy = jnp.full(n, 1.0, jnp.float32)
+    density = jnp.full(n, 1.0, jnp.float32)
+    delay = jnp.zeros(n, jnp.float32)
+    delay = delay.at[0].set(5.0)      # one decoupled gas particle
+    is_gas = jnp.asarray(ptype == 0)
+    new_star = jnp.asarray(ptype == 4)
+    vdisp = jnp.where(new_star, 100.0, 0.0)
+
+    par = W.WindParams(model=W.WIND_USE_HALO | W.WIND_DECOUPLE_SPH,
+                       sigma0=1e4,  # giant windeff -> p >~ 1
+                       speed_factor=3.7, max_free_travel_time=60.0,
+                       free_travel_length=20.0)
+    key = jax.random.PRNGKey(0)
+    vel2, ent2, delay2, kicked = W.winds_via_neighbors(
+        par, key, ipos=ipos, mass=mass, hsml=hsml, pid=pid, vel=vel,
+        entropy=entropy, density=density, delay_time=delay,
+        is_gas=is_gas, new_star=new_star, star_vdisp=vdisp,
+        boxsize=box, atime=0.5)
+
+    k = np.asarray(kicked)
+    d = pos[:ngas] - box / 2
+    d -= box * np.round(d / box)
+    r = np.sqrt((d ** 2).sum(1))
+    inside = r < 60.0
+    # every eligible gas inside the bubble gets kicked (p >> 1), none
+    # outside, never the decoupled one, never the star
+    assert not k[-1]
+    assert not k[0]
+    expect = inside & (np.arange(ngas) != 0)
+    assert np.array_equal(k[:ngas], expect), (k[:ngas], expect)
+    assert k.sum() > 0
+    # kick speed = speed_factor * vdisp
+    dv = np.linalg.norm(np.asarray(vel2) - np.asarray(vel), axis=1)
+    assert np.allclose(dv[k], 3.7 * 100.0, rtol=1e-5)
+    assert np.all(dv[~k] == 0)
+    # decoupling timers set for kicked particles
+    assert np.all(np.asarray(delay2)[k] > 0)
