@@ -43,7 +43,7 @@ def make_sim_mesh(devices):
 
 def sharded_treepm_step(mesh, *, nmesh, boxsize, gconst, asmth, rcut,
                         softening, err_tol_force_acc, n_local,
-                        tree_kwargs, ghost_frac=0.25, bucket_frac=0.5):
+                        tree_kwargs, ghost_frac=0.5, bucket_frac=1.0):
     """Build the jitted sharded step function.
 
     Returns step(ipos, vel, mass, valid, amag, dkick, ddrift) ->
@@ -61,10 +61,10 @@ def sharded_treepm_step(mesh, *, nmesh, boxsize, gconst, asmth, rcut,
     bucket_cap = max(64, int(n_local * bucket_frac))
     g_over_box2 = jnp.float32(gconst / boxsize ** 2)
 
-    def step_local(ipos, vel, mass, valid, amag, dkick, ddrift):
+    def step_local(ipos, vel, mass, valid, amag, pid, dkick, ddrift):
         # 1. domain exchange: every row to its x-slab owner
-        (ipos, vel, mass, amag), valid, x_ovf = exchange_to_slabs(
-            (ipos, vel, mass, amag), ipos, valid, "x", log2s,
+        (ipos, vel, mass, amag, pid), valid, x_ovf = exchange_to_slabs(
+            (ipos, vel, mass, amag, pid), ipos, valid, "x", log2s,
             bucket_cap)
         mass = jnp.where(valid, mass, 0.0)
 
@@ -91,12 +91,18 @@ def sharded_treepm_step(mesh, *, nmesh, boxsize, gconst, asmth, rcut,
         amag = jnp.sqrt(jnp.sum(acc * acc, axis=-1))
         vel = kick(vel, acc, dkick)
         ipos = drift(ipos, vel, ddrift, 1.0 / boxsize)
-        ovf = (x_ovf | g_ovf | res.overflow).astype(jnp.int32)
-        return ipos, vel, mass, valid, amag, lax.psum(ovf, "x") > 0
+        # overflow bitmask: 1 = exchange, 2 = ghosts, 4 = tree walk
+        ovf = (x_ovf.astype(jnp.int32)
+               + 2 * g_ovf.astype(jnp.int32)
+               + 4 * res.overflow.astype(jnp.int32))
+        return (ipos, vel, mass, valid, amag, pid,
+                lax.psum(ovf, "x"))
 
     sharded = shard_map(
         step_local, mesh=mesh,
-        in_specs=(P("x"), P("x"), P("x"), P("x"), P("x"), P(), P()),
-        out_specs=(P("x"), P("x"), P("x"), P("x"), P("x"), P()),
+        in_specs=(P("x"), P("x"), P("x"), P("x"), P("x"), P("x"),
+                  P(), P()),
+        out_specs=(P("x"), P("x"), P("x"), P("x"), P("x"), P("x"),
+                   P()),
         check_vma=False)
     return jax.jit(sharded)

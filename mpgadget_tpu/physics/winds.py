@@ -122,10 +122,15 @@ def winds_decouple_update(par: WindParams, delay_time, density, dtime,
 
 
 def dm_velocity_dispersion(ipos, vel, mass, is_dm, is_gas, boxsize,
-                           mean_sep, nsearch_radius=2.0):
+                           mean_sep, nsearch_radius=2.0,
+                           radius_per_particle=None):
     """1D DM velocity dispersion around gas particles
     (winds_find_vel_disp, veldisp.c): a neighbor-pair reduction of
-    sum(v), sum(v^2), count over DM within a fixed search radius."""
+    sum(v), sum(v^2), count over DM within the search radius.
+
+    radius_per_particle: optional f32[N] per-TARGET radius in internal
+    units (e.g. each BH's own Hsml, veldisp.c:60-76); overrides the
+    fixed nsearch_radius*mean_sep."""
     from ..ops import pairs
     from ..gravity.tree import build_tree
     from ..gravity.treewalk import make_target_groups
@@ -150,21 +155,31 @@ def dm_velocity_dispersion(ipos, vel, mass, is_dm, is_gas, boxsize,
     group_cap = min((8 * n) // 32 + 64, n + 64)
     leaf_nodes, gc, gh, _, ngr, _ = make_target_groups(
         tree, pos_box, jnp.full(n, jnp.inf, jnp.float32), group_cap, 32)
-    radius = nsearch_radius * mean_sep / boxsize
+    if radius_per_particle is not None:
+        rad_s = radius_per_particle[perm] * jnp.float32(1.0 / boxsize)
+        # per-group search radius = max member radius
+        safe_nodes = jnp.minimum(leaf_nodes, tree.capacity - 1)
+        tps = tree.pstart[safe_nodes]
+        offg = jnp.arange(32, dtype=jnp.int32)
+        tidx = jnp.clip(tps[:, None] + offg[None, :], 0, n - 1)
+        tpc = jnp.where(leaf_nodes < tree.n_nodes,
+                        tree.pcount[safe_nodes], 0)
+        tm = offg[None, :] < tpc[:, None]
+        gradius = jnp.max(jnp.where(tm, rad_s[tidx], 0.0), axis=1)
+    else:
+        radius = nsearch_radius * mean_sep / boxsize
+        rad_s = jnp.full(n, radius, jnp.float32)
+        gradius = jnp.full(gc.shape[0], radius, jnp.float32)
     ll = 96
     for _ in range(4):
-        nbr = pairs.find_neighbors(tree, leaf_nodes, gc, gh,
-                                   jnp.full(gc.shape[0], radius,
-                                            jnp.float32),
+        nbr = pairs.find_neighbors(tree, leaf_nodes, gc, gh, gradius,
                                    None, ll, symmetric=False)
         if not bool(jnp.any(nbr.overflow)):
             break
         ll *= 2
 
-    rb = jnp.float32(radius)
-
     def pair_fn(dx, r, tmask, smask, tfeat, sfeat):
-        near = (r < rb) & (sfeat["isdm"] > 0)
+        near = (r < tfeat["rad"]) & (sfeat["isdm"] > 0)
         w = jnp.where(near, 1.0, 0.0)
         return {"n": w,
                 "vx": w * sfeat["v"][..., 0],
@@ -173,7 +188,7 @@ def dm_velocity_dispersion(ipos, vel, mass, is_dm, is_gas, boxsize,
                 "v2": w * jnp.sum(sfeat["v"] ** 2, axis=-1)}
 
     out = pairs.pair_reduce(
-        pair_fn, nbr, tree, pos_box, {},
+        pair_fn, nbr, tree, pos_box, {"rad": rad_s},
         {"v": vel[perm], "isdm": is_dm[perm].astype(jnp.float32)},
         {k: "sum" for k in ("n", "vx", "vy", "vz", "v2")}, 32, 16)
     cnt = jnp.maximum(out["n"], 1.0)

@@ -1158,6 +1158,88 @@ class Simulation:
                 self.apply_metal_return(dloga)
         return n_sub
 
+    def run_sharded(self, device_mesh, max_steps=None, verbose=True):
+        """Multi-device DM-only main loop: the full sharded TreePM KDK
+        step (slab exchange + ghosts + local trees + pencil-FFT PM,
+        parallel/treepm.py) driven by the same integer timeline and
+        exact kick/drift factors as the single-device loop.
+
+        device_mesh: jax.sharding.Mesh over one axis named 'x'.  Gas /
+        star / BH physics is not yet sharded — this driver requires a
+        DM-only configuration (the reference's large-volume scaling
+        mode, domain.c:31)."""
+        from .parallel.treepm import sharded_treepm_step
+        from .parallel.mesh import shard_particles
+        if self.has_gas:
+            raise ValueError("run_sharded supports DM-only runs; "
+                             "gas physics is not sharded yet")
+        S = int(device_mesh.devices.size)
+        n = self.pdata.capacity
+        # double the per-shard capacity: exchange needs headroom for
+        # particle-count imbalance between slabs (slots reserve analog)
+        n_local = int(np.ceil(2.0 * n / S / 128)) * 128
+        n_pad = n_local * S
+        if self._tree_grav is None:
+            self.compute_forces(measure_power=False)
+        tg = self._tree_grav
+        tree_kwargs = tg.force_kwargs(
+            n_local + 2 * max(256, n_local // 4))
+        tree_kwargs["with_potential"] = False
+        step = sharded_treepm_step(
+            device_mesh, nmesh=self.cfg.nmesh, boxsize=self.cfg.boxsize,
+            gconst=self.CP.GravInternal, asmth=self.cfg.asmth,
+            rcut=self.cfg.rcut,
+            softening=tg.softening, err_tol_force_acc=tg.err_tol_force_acc,
+            n_local=n_local, tree_kwargs=tree_kwargs)
+        acc = self.pdata.grav_accel + self.pdata.grav_pm
+        amag = jnp.sqrt(jnp.sum(acc * acc, axis=-1))
+
+        def pad(a, fill=0):
+            return jnp.concatenate(
+                [a, jnp.full((n_pad - n,) + a.shape[1:], fill,
+                             a.dtype)], axis=0)
+
+        ipos, vel, mass, valid, amag, pid = shard_particles(
+            (pad(self.pdata.ipos), pad(self.pdata.vel),
+             pad(self.pdata.mass), pad(self.pdata.valid, False),
+             pad(amag), pad(self.pdata.pid)), device_mesh, axis="x")
+        nsteps = 0
+
+        def sync_pdata():
+            # mirror sharded state into a full-capacity ParticleData
+            # for the host-side timestep policy / outputs (valid rows
+            # may sit anywhere after exchanges)
+            self.pdata = self.pdata.replace(
+                ipos=ipos[:n], vel=vel[:n], mass=mass[:n],
+                valid=valid[:n], pid=pid[:n])
+
+        while self.ti_current < self.timeline.ti_end:
+            sync_pdata()
+            dti = self.find_pm_timestep()
+            t0, t1 = self.ti_current, self.ti_current + dti
+            dkick = self.tf.gravkick(t0, t1)
+            ddrift = self.tf.drift(t0, t1)
+            ipos, vel, mass, valid, amag, pid, ovf = step(
+                ipos, vel, mass, valid, amag, pid, jnp.float32(dkick),
+                jnp.float32(ddrift))
+            if int(ovf):
+                raise RuntimeError(
+                    f"sharded step buffer overflow (mask {int(ovf)}: "
+                    "1=exchange 2=ghosts 4=tree); raise capacities")
+            self.ti_current = t1
+            nsteps += 1
+            if verbose:
+                print(f"[sharded step {nsteps}] a={self.atime:.5f}")
+            if max_steps and nsteps >= max_steps:
+                break
+        # compact valid rows back into the Simulation's capacity
+        order = np.argsort(~np.asarray(valid), kind="stable")[:n]
+        oj = jnp.asarray(order)
+        self.pdata = self.pdata.replace(
+            ipos=ipos[oj], vel=vel[oj], mass=mass[oj],
+            valid=valid[oj], pid=pid[oj])
+        return nsteps
+
     def step(self, dti: int):
         """One global KDK step over dti integer ticks."""
         t0, t1 = self.ti_current, self.ti_current + dti
@@ -1279,6 +1361,18 @@ class Simulation:
             if self.last_power is not None:
                 D1 = self.CP.GrowthFactor(self.atime, 1.0)
                 self.last_power.save(self.cfg.output_dir, self.atime, D1)
+            # per-step timer dump (the reference's cpu.txt,
+            # walltime_summary in run.c:553)
+            with open(os.path.join(self.cfg.output_dir, "cpu.txt"),
+                      "a") as fh:
+                fh.write(f"Step {nsteps}, Time: {self.atime:g}\n")
+                tot = max(self.walltime.elapsed(), 1e-12)
+                for name in sorted(self.walltime.totals,
+                                   key=self.walltime.totals.get,
+                                   reverse=True):
+                    s = self.walltime.totals[name]
+                    fh.write(f"    {name:<24s} {s:10.2f} "
+                             f"{100 * s / tot:6.2f}%\n")
             if verbose:
                 dloga = self.timeline.dloga_from_dti(
                     dti, self.ti_current - dti)
@@ -1509,16 +1603,15 @@ class Simulation:
             df_acc = jnp.where(is_bh[:, None], df_acc, 0.0)
             self.bh = self.bh.replace(df_accel=df_acc)
         if par.kinetic_on:
-            # 1D DM velocity dispersion around BHs (veldisp.c:60-76);
-            # fixed search radius = mean BH hsml (the reference uses
-            # each BH's Hsml; the dispersion varies slowly with radius)
+            # 1D DM velocity dispersion around BHs within each BH's
+            # own Hsml (veldisp.c:60-76)
             from .physics.winds import dm_velocity_dispersion
-            hbh = np.asarray(self.pdata.hsml)[np.asarray(is_bh)]
-            rad = float(hbh.mean()) if len(hbh) else 0.0
             vd = dm_velocity_dispersion(
                 self.pdata.ipos, self.pdata.vel, self.pdata.mass,
                 self.pdata.valid & (self.pdata.ptype == 1), is_bh,
-                self.cfg.boxsize, rad, nsearch_radius=1.0)
+                self.cfg.boxsize, 0.0,
+                radius_per_particle=jnp.where(is_bh, self.pdata.hsml,
+                                              0.0))
             self.bh = self.bh.replace(
                 vdisp=jnp.where(is_bh, vd, 0.0))
         sums = bhmod.bh_neighbor_sums(
@@ -1818,6 +1911,11 @@ class Simulation:
         mass = np.asarray(self.pdata.mass, np.float64)
         vel = np.asarray(self.pdata.vel, np.float64)
         pot = np.asarray(self.pdata.potential, np.float64)
+        if self.cfg.tree_grav_on and self._tree_grav is not None:
+            # full potential = PM + short-range tree (stats.c:389)
+            _, tree_pot = self._tree_grav.compute(
+                self.pdata, return_potential=True)
+            pot = pot + np.asarray(tree_pot, np.float64)
         ekin_p = 0.5 * mass * (vel ** 2).sum(axis=1) / atime ** 2
         epot_p = 0.5 * mass * pot
         if self.sph is not None:
@@ -1937,6 +2035,12 @@ class Simulation:
         mass = np.asarray(self.pdata.mass)
         pid = np.asarray(self.pdata.pid)
         pot = np.asarray(self.pdata.potential)
+        if self.cfg.tree_grav_on and self._tree_grav is not None:
+            # stored Potential = PM + short-range tree (the reference
+            # adds the tree part on output, gravshort-tree.c:137)
+            _, tree_pot = self._tree_grav.compute(
+                self.pdata, return_potential=True)
+            pot = pot + np.asarray(tree_pot)
         ntot = np.zeros(6, np.uint64)
         hubble = self.CP.hubble_function(atime)
         from .utils.constants import GAMMA_MINUS1

@@ -201,11 +201,12 @@ def test_sharded_treepm_step_matches_single_device(mesh8):
         mesh, nmesh=nmesh, boxsize=boxsize, gconst=43007.1, asmth=1.0,
         rcut=1.0, softening=boxsize / 50.0, err_tol_force_acc=0.002,
         n_local=n_local, tree_kwargs=tree_kwargs)
-    parts = shard_particles((ipos, vel, mass, valid, amag), mesh,
+    pid = jnp.arange(n, dtype=jnp.int64)
+    parts = shard_particles((ipos, vel, mass, valid, amag, pid), mesh,
                             axis="x")
-    ipos2, vel2, mass2, valid2, amag2, ovf = step(
+    ipos2, vel2, mass2, valid2, amag2, pid2, ovf = step(
         *parts, jnp.float32(1.0), jnp.float32(0.0))
-    assert not bool(ovf)
+    assert not int(ovf)
 
     # rows moved between shards: match particles by position key
     def keyed(ip, acc, ok):
@@ -223,3 +224,43 @@ def test_sharded_treepm_step_matches_single_device(mesh8):
     # geometry drives opening): demand close agreement, not identity
     assert np.percentile(rel, 95) < 2e-2, np.percentile(rel, 95)
     assert np.max(rel) < 0.2, np.max(rel)
+
+
+def test_simulation_run_sharded(mesh8, tmp_path):
+    """Simulation.run_sharded drives the sharded TreePM step from the
+    integer timeline and conserves particles/momentum."""
+    from mpgadget_tpu.cosmology import Cosmology
+    from mpgadget_tpu.particles import ParticleData
+    from mpgadget_tpu.run import Simulation, SimConfig
+    from mpgadget_tpu.timeline import Timeline
+    from mpgadget_tpu.utils import get_unitsystem, constants as CC
+
+    UN = get_unitsystem(CC.CM_PER_KPC, 1.989e43, 1e5)
+    rng = np.random.RandomState(7)
+    box = 50000.0
+    n = 1024
+    pos = rng.uniform(0, box, (n, 3))
+    pdata = ParticleData.from_numpy(
+        pos, np.zeros((n, 3)), np.full(n, 1.0),
+        np.ones(n, np.int32), np.arange(n) + 1, box)
+    cp = Cosmology(Omega0=0.3, OmegaLambda=0.7, HubbleParam=0.7,
+                   TimeBegin=0.1).init_units(UN)
+    timeline = Timeline([0.2], TimeIC=0.1, TimeMax=0.2)
+    cfg = SimConfig(boxsize=box, nmesh=16, output_dir=str(tmp_path),
+                    timeline=timeline, units=UN, hydro_on=False,
+                    tree_grav_on=True, asmth=1.0, rcut=1.0,
+                    random_particle_offset=0.0)
+    sim = Simulation(cp, pdata, cfg, time_ic=0.1)
+    nsteps = sim.run_sharded(mesh8, max_steps=3, verbose=False)
+    assert nsteps == 3
+    valid = np.asarray(sim.pdata.valid)
+    assert valid.sum() == n, "particles lost across exchanges"
+    vel = np.asarray(sim.pdata.vel)
+    assert np.all(np.isfinite(vel))
+    # momentum conservation (equal masses): net momentum stays small
+    # relative to the momentum scale
+    p = vel[valid].sum(axis=0)
+    scale = np.abs(vel[valid]).sum(axis=0) + 1e-30
+    assert np.all(np.abs(p) / scale < 0.05), (p, scale)
+    # structure grew: particles moved
+    assert np.std(vel[valid]) > 0
