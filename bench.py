@@ -52,11 +52,17 @@ def main():
                      tree_use_bh=0, with_potential=False)
     kw = tg.force_kwargs(n)
 
-    # ONE jitted graph for the whole KDK step (tree + PM + kick +
-    # drift): per-dispatch tunnel latency is ~30ms, so a production
-    # loop fuses the step; donated buffers update in place.
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def step(ipos, vel, mass, valid, amag):
+    # ONE jitted graph for BENCH_BATCH whole KDK steps (tree + PM +
+    # kick + drift) via lax.scan: per-dispatch tunnel latency is
+    # ~30ms, so a production loop fuses steps; donated buffers update
+    # in place.
+    # scanning 4 steps into one graph amortizes the ~30ms dispatch;
+    # at >1M particles the 4x graph trips XLA scoped-vmem limits, so
+    # large runs fall back to one step per dispatch
+    batch = int(os.environ.get("BENCH_BATCH",
+                               4 if n <= 2 ** 18 else 1))
+
+    def one_step(ipos, vel, mass, valid, amag):
         res = tree_force(ipos, mass, valid, amag, **kw)
         acc_pm, _, _ = _pm_force_kernel(
             ipos, mass, nmesh, boxsize, 43007.1, 1.5,
@@ -65,6 +71,20 @@ def main():
         amag = jnp.sqrt(jnp.sum(acc * acc, axis=-1))
         vel = kick(vel, acc, 1e-6)
         ipos = drift(ipos, vel, 1e-6, 1.0 / boxsize)
+        return ipos, vel, amag
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(ipos, vel, mass, valid, amag):
+        if batch == 1:
+            return one_step(ipos, vel, mass, valid, amag)
+
+        def body(carry, _):
+            ipos, vel, amag = carry
+            ipos, vel, amag = one_step(ipos, vel, mass, valid, amag)
+            return (ipos, vel, amag), None
+
+        (ipos, vel, amag), _ = jax.lax.scan(
+            body, (ipos, vel, amag), None, length=batch)
         return ipos, vel, amag
 
     state = (pdata.ipos, pdata.vel, pdata.mass, pdata.valid,
@@ -84,7 +104,7 @@ def main():
     for _ in range(nrep):
         state = run1(state)
         float(jnp.sum(state[1][0]))
-    dt = (time.perf_counter() - t0) / nrep
+    dt = (time.perf_counter() - t0) / nrep / batch
 
     rate = n / dt
     print(json.dumps({

@@ -126,50 +126,50 @@ class PowerSpec:
         for j in range(nnu):
             vnu = rows[:, 14 + nnu + defld * 2 + j] * onu_single[j]
         cols[VEL_NU] = vnu / onu
-        # derived combinations (init_transfer_table, power.c:300-400)
-        ob, oc = self.CP.OmegaBaryon, self.CP.OmegaCDM
-        cols[DELTA_CB] = (ob * cols[DELTA_BAR] + oc * cols[DELTA_CDM]) \
-            / (ob + oc)
-        cols[VEL_CB] = (ob * cols[VEL_BAR] + oc * cols[VEL_CDM]) / (ob + oc)
-        onu1 = self.CP.ONu(InitTime) * InitTime ** 3  # ~ matter-like
-        otot = ob + oc + onu1
-        cols[VEL_TOT] = ((ob * cols[VEL_BAR] + oc * cols[VEL_CDM]
-                          + onu1 * cols[VEL_NU]) / otot)
-        # Normalize: density columns stored as ratio to total;
-        # velocity columns as growth rates.  The reference converts
-        # t_x/d_x into dlogD/dloga-like factors; we follow
-        # fastpm conventions: vel = -(h_prime/2 + t_x)/d_x, here the
-        # columns already hold h_prime/2-based values; convert to
-        # ratios against the CB density.
-        dtot = cols[DELTA_CB]
-        self._transfer = {}
-        for t in (DELTA_BAR, DELTA_CDM, DELTA_NU, DELTA_CB):
-            self._transfer[t] = interpolate.interp1d(
-                logk, cols[t] / dtot, kind="linear",
-                fill_value=(cols[t][0] / dtot[0], cols[t][-1] / dtot[-1]),
-                bounds_error=False)
+        # -- exact reference conversion (init_transfer_table,
+        # power.c:350-400) -------------------------------------------
+        # velocity normalization: divide by a H(a) in CLASS 1/Mpc
+        # units (fac = a * H/H0 * 100 h / c_km_s), THEN add the
+        # synchronous-gauge metric term h'/2 (already stored in
+        # VEL_CDM) to the baryon and neutrino velocities — fastpm
+        # convention v_x = -(h'/2 + t_x)/d_x
         hubble = self.CP.hubble_function(InitTime)
-        # velocity factor: (1+z)/H in CLASS 1/Mpc units -> dimensionless
-        # dlogD/dloga; the reference computes this in init_transfer_table.
         light_kms = C.LIGHTCGS / 1e5
-        vfac = (1.0 / InitTime) / (hubble / self.CP.Hubble
-                                   * self.CP.HubbleParam * 100 / light_kms)
-        for t, dt_col in ((VEL_BAR, DELTA_BAR), (VEL_CDM, DELTA_CDM),
-                          (VEL_NU, DELTA_NU), (VEL_CB, DELTA_CB),
-                          (VEL_TOT, DELTA_CB)):
-            ratio = vfac * (cols[t] / cols[dt_col]) if t != VEL_TOT else \
-                vfac * (cols[t] / dtot)
+        fac = (InitTime * hubble / self.CP.Hubble
+               * 100.0 * self.CP.HubbleParam / light_kms)
+        cols[VEL_CDM] = cols[VEL_CDM] / fac
+        cols[VEL_BAR] = cols[VEL_BAR] / fac + cols[VEL_CDM]
+        cols[VEL_NU] = cols[VEL_NU] / fac + cols[VEL_CDM]
+        ob, oc = self.CP.OmegaBaryon, self.CP.OmegaCDM
+        cols[DELTA_CB] = ob * cols[DELTA_BAR] + oc * cols[DELTA_CDM]
+        cols[VEL_CB] = ob * cols[VEL_BAR] + oc * cols[VEL_CDM]
+        cols[VEL_TOT] = cols[VEL_CB].copy()
+        t_tot = cols[DELTA_CB].copy()
+        omega0a3 = ob + oc
+        cols[DELTA_CB] = cols[DELTA_CB] / (ob + oc)
+        cols[VEL_CB] = cols[VEL_CB] / (ob + oc)
+        onu1 = self.CP.ONu(InitTime) * InitTime ** 3
+        if nnu > 0:
+            cols[VEL_TOT] = cols[VEL_TOT] + onu1 * cols[VEL_NU]
+            t_tot = t_tot + onu1 * cols[DELTA_NU]
+            omega0a3 += onu1
+        cols[VEL_TOT] = cols[VEL_TOT] / omega0a3
+        t_tot = t_tot / omega0a3
+        # every row stored as T_x(k) / T_tot(k)
+        self._transfer = {}
+        for t in (DELTA_BAR, DELTA_CDM, DELTA_NU, DELTA_CB,
+                  VEL_BAR, VEL_CDM, VEL_NU, VEL_CB, VEL_TOT):
+            ratio = cols[t] / t_tot
             self._transfer[t] = interpolate.interp1d(
                 logk, ratio, kind="linear",
                 fill_value=(ratio[0], ratio[-1]), bounds_error=False)
 
     # -- evaluation ----------------------------------------------------
 
-    def delta_spec(self, k, ptype=DELTA_TOT):
-        """sqrt(P(k)), internal units; k in internal 1/length."""
+    def _tabulated(self, k, trans_type):
+        """sqrt(P(k)) * (T_type/T_tot), internal units (get_Tabulated,
+        power.c:68-103)."""
         k = np.asarray(k, dtype=np.float64)
-        if self.par.WhichSpectrum != 2:
-            return self.Norm * self._delta_eh(k)
         logk = np.log10(np.maximum(k * self.scale, 1e-30))
         lo, hi = self._logk[0], self._logk[-1]
         intlogk = np.clip(logk, lo, hi)
@@ -180,28 +180,30 @@ class PowerSpec:
                         + np.log(np.maximum(logk, 1e-30)
                                  / np.maximum(intlogk, 1e-30)), logD)
         trans = 1.0
-        if self._transfer is not None and DELTA_BAR <= ptype <= DELTA_CB:
-            trans = self._transfer[ptype](intlogk)
+        if self._transfer is not None and trans_type in self._transfer:
+            trans = self._transfer[trans_type](intlogk)
         delta = 10.0 ** (logD + 1.5 * np.log10(self.scale)) * trans
         return self.Norm * delta
 
-    def dlog_growth(self, k, ptype):
-        """Scale-dependent growth rate for velocities (power.c:113-123).
+    def delta_spec(self, k, ptype=DELTA_TOT):
+        """sqrt(P(k)), internal units; k in internal 1/length."""
+        if self.par.WhichSpectrum != 2:
+            return self.Norm * self._delta_eh(np.asarray(k, float))
+        t = ptype if DELTA_BAR <= ptype <= DELTA_CB else DELTA_TOT
+        return self._tabulated(k, t)
 
-        NOTE: the CLASS-transfer velocity path is approximate pending the
-        full init_transfer_table unit conversion; the default
-        (scale-independent Zel'dovich, F_Omega) path is exact.
-        """
+    def dlog_growth(self, k, ptype):
+        """Velocity-transfer amplitude sqrt(P) * T_vel/T_tot
+        (dlogGrowth, power.c:112-121): the scale-dependent analog of
+        delta * F_Omega, consumed directly as the velocity potential
+        amplitude in zeldovich."""
         if self._transfer is None or not self.par.ScaleDepVelocity:
-            return np.full_like(np.asarray(k, float), 1.0)
+            return self.delta_spec(k, ptype)
         if not (DELTA_BAR <= ptype <= DELTA_CB):
             vt = VEL_TOT
         else:
             vt = VEL_BAR + (ptype - DELTA_BAR)
-        logk = np.clip(np.log10(np.maximum(
-            np.asarray(k, float) * self.scale, 1e-30)),
-            self._logk[0], self._logk[-1])
-        return self._transfer[vt](logk)
+        return self._tabulated(k, vt)
 
     def _delta_eh(self, k):
         """Eisenstein & Hu fallback (power.c:455-492)."""

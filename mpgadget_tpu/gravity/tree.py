@@ -34,9 +34,12 @@ KEY_BITS = 3 * MORTON_BITS  # 63
 @dataclass(frozen=True)
 class TreeConfig:
     leaf_max: int = 32       # make a leaf when count <= this
-    group_max: int = 128     # target-group size for the treewalk
+    group_max: int = 256     # target-block size for the treewalk
+    #                          (v5e sweep: 256 beats 128/512 by ~20%)
     max_level: int = 15      # deepest split level (<= MORTON_BITS)
-    node_factor: float = 0.5  # node capacity = factor * N + 64
+    node_factor: float = 0.35  # node capacity = factor * N + 64
+    #                            (uniform boxes use ~0.14N; overflow
+    #                            retry doubles toward 2.0)
 
 
 @jax.tree_util.register_pytree_node_class

@@ -39,12 +39,12 @@ from .shortrange import (shortrange_force_window, shortrange_pot_window,
 @dataclass(frozen=True)
 class WalkConfig:
     leaf_list_max: int = 512    # opened leaves recorded per block
-    src_cap: int = 2048         # direct-source slots per block (sub-row
+    src_cap: int = 4096         # direct-source slots per block (sub-row
     #                             compacted; must be a multiple of sub)
     sub: int = 8                # sub-row width: leaves are padded to
     #                             ceil(count/sub)*sub aligned slots
-    nleaf_frac: float = 0.2     # leaf-table capacity = frac * N + 256
-    sr_frac: float = 0.25       # sub-row capacity  = frac * N + 256
+    nleaf_frac: float = 0.15    # leaf-table capacity = frac * N + 256
+    sr_frac: float = 0.16       # sub-row capacity  = frac * N + 256
     group_batch: int = 512      # blocks evaluated per map step
     chunk: int = 512            # source slots per scan chunk
     use_pallas: bool = True     # Pallas pair kernel on TPU (jnp else)

@@ -276,17 +276,15 @@ class Simulation:
                 "density": bf.open("0/Density").read(),
                 "hsml": bf.open("0/SmoothingLength").read(),
             }
-            # optional state blocks (petaio reads every registered
-            # block present; ne/Z matter for cooling on resume)
-            for name, key in (("ElectronAbundance", "ne"),
-                              ("Metallicity", "metallicity"),
-                              ("StarFormationRate", "sfr"),
-                              ("DelayTime", "delay_time"),
-                              ("Metals", "metals"),
-                              ("HeIIIIonized", "he_iii_ionized"),
-                              ("EgyWtDensity", "egy_wt_density")):
-                if "0/" + name in bf:
-                    sim._gas_restore[key] = bf.open("0/" + name).read()
+            # every registered gas block present is restored (petaio
+            # reads the full registry; ne/Z matter for cooling)
+            from .io.registry import blocks_for_type
+            for spec in blocks_for_type(0):
+                if spec.holder != "sph" or spec.wronly:
+                    continue
+                if "0/" + spec.name in bf:
+                    sim._gas_restore[spec.field] = \
+                        bf.open("0/" + spec.name).read()
         else:
             sim._gas_restore = None
         # star/BH slot state via the declarative registry (the round-1
@@ -585,25 +583,18 @@ class Simulation:
             entropy=entropy, density=rho,
             egy_wt_density=(expand(r["egy_wt_density"])
                             if "egy_wt_density" in r else rho))
-        if "ne" in r:
-            sph = sph.replace(ne=expand(r["ne"]))
-        if "metallicity" in r:
-            sph = sph.replace(metallicity=expand(r["metallicity"]))
-        if "sfr" in r:
-            sph = sph.replace(sfr=expand(r["sfr"]))
-        if "delay_time" in r:
-            sph = sph.replace(delay_time=expand(r["delay_time"]))
-        if "he_iii_ionized" in r:
-            full = np.zeros(n, np.uint8)
-            full[np.asarray(gas)] = np.asarray(r["he_iii_ionized"],
-                                               np.uint8)
-            sph = sph.replace(he_iii_ionized=jnp.asarray(full))
-        if "metals" in r:
-            full = np.asarray(sph.metals)
-            full = np.array(full)
-            full[np.asarray(gas)] = np.asarray(
-                r["metals"], np.float32).reshape(-1, full.shape[1])
-            sph = sph.replace(metals=jnp.asarray(full))
+        # generic registry-driven field scatter (any dtype/shape)
+        updates = {}
+        for field, arr in r.items():
+            if field in ("u", "density", "hsml", "egy_wt_density") \
+                    or not hasattr(sph, field):
+                continue
+            cur = np.array(np.asarray(getattr(sph, field)))
+            cur[np.asarray(gas)] = np.asarray(arr).reshape(
+                (-1,) + cur.shape[1:]).astype(cur.dtype)
+            updates[field] = jnp.asarray(cur)
+        if updates:
+            sph = sph.replace(**updates)
         self.sph = sph
         self.pdata = self.pdata.replace(hsml=expand(r["hsml"]))
         uu = self.cfg.units.UnitInternalEnergy_in_cgs
@@ -1022,6 +1013,33 @@ class Simulation:
               - self._ipos_offset.astype(np.uint64)).astype(np.uint32)
         return fixed_to_pos(ip, self.cfg.boxsize)
 
+    def _check_invariants(self):
+        """DEBUG-style state sanity checks (the reference's
+        check_kick_drift_times / containment asserts, timestep.c and
+        exchange.c DEBUG blocks): finite velocities and entropy,
+        positive masses, valid counts stable."""
+        valid = self.pdata.valid
+        bad = []
+        if not bool(jnp.all(jnp.isfinite(
+                jnp.where(valid[:, None], self.pdata.vel, 0.0)))):
+            bad.append("non-finite velocity")
+        if not bool(jnp.all(jnp.where(valid, self.pdata.mass, 1.0)
+                            > 0)):
+            bad.append("non-positive mass")
+        if self.sph is not None and self._gas_initialized:
+            gas = self.gas_mask
+            ent = jnp.where(gas, self.sph.entropy, 1.0)
+            if not bool(jnp.all(jnp.isfinite(ent) & (ent > 0))):
+                bad.append("bad gas entropy")
+        if bad:
+            try:
+                self.write_snapshot(label=999)
+            except Exception:
+                pass
+            raise RuntimeError(
+                f"state invariants violated at a={self.atime:g}: "
+                + ", ".join(bad))
+
     def _apply_pm_half_kick(self, t0, t1):
         """Long-range-only kick (apply_PM_half_kick, timestep.c)."""
         vel = kick(self.pdata.vel, self.pdata.grav_pm,
@@ -1327,7 +1345,15 @@ class Simulation:
                                                  self.ti_current))
                 dti = min(dti, max(dti_h, 1))
             if dti <= 0:
-                raise RuntimeError(f"Bad timestep {dti}")
+                # dump state for post-mortem before dying
+                # (emergency snapshot, run.c:776-780)
+                try:
+                    self.write_snapshot(label=999)
+                except Exception:
+                    pass
+                raise RuntimeError(
+                    f"Bad timestep {dti}; emergency snapshot "
+                    f"{self.cfg.snapshot_base}_999 written")
             if self.cfg.split_gravity_timesteps \
                     and self.cfg.tree_grav_on:
                 self.step_hierarchical(dti)
@@ -1348,6 +1374,8 @@ class Simulation:
             if (self.cfg.excursion_set_on and self.has_gas
                     and self._gas_initialized):
                 self._run_excursion_set()
+            if self.cfg.output_energy_debug:
+                self._check_invariants()
             sp = self.timeline.find_current_sync_point(self.ti_current)
             if sp is not None and sp.write_snapshot:
                 self.write_snapshot()
