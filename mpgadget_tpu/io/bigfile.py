@@ -26,6 +26,8 @@ Format (bigfile.c:330-420, 590-620, 1560-1630):
 import os
 import numpy as np
 
+from . import _native
+
 
 def _dtype_to_bigfile(dt: np.dtype, nmemb: int) -> str:
     dt = np.dtype(dt)
@@ -207,25 +209,48 @@ class BigBlock:
 
     # -- data ---------------------------------------------------------
 
-    def read(self, start=0, count=None) -> np.ndarray:
-        if count is None:
-            count = self.size - start
-        itemsize = self.dtype.itemsize * self.nmemb
-        out = np.empty(count * self.nmemb, dtype=self.dtype)
-        outb = out.view(np.uint8).reshape(count, itemsize)
+    def _stripe_plan(self, start, count):
+        """(file ids, file byte offsets, row offsets, row counts) of
+        the stripes touching [start, start+count)."""
         off = self.foffset
+        ids, foff, roff, rcnt = [], [], [], []
         row = 0
         for i in range(self.Nfile):
             lo = max(start, off[i])
             hi = min(start + count, off[i + 1])
             if hi <= lo:
                 continue
-            with open(self._datafile(i), "rb") as fh:
-                fh.seek((lo - off[i]) * itemsize)
-                buf = fh.read((hi - lo) * itemsize)
-            outb[row:row + hi - lo] = np.frombuffer(
-                buf, dtype=np.uint8).reshape(hi - lo, itemsize)
+            ids.append(i)
+            foff.append(lo - off[i])
+            roff.append(row)
+            rcnt.append(hi - lo)
             row += hi - lo
+        return ids, foff, roff, rcnt
+
+    def read(self, start=0, count=None) -> np.ndarray:
+        if count is None:
+            count = self.size - start
+        itemsize = self.dtype.itemsize * self.nmemb
+        ids, foff, roff, rcnt = self._stripe_plan(start, count)
+        out = np.empty(count * self.nmemb, dtype=self.dtype)
+        outb = out.view(np.uint8).reshape(count, itemsize)
+        # native path: one OpenMP pread per stripe file
+        raw = _native.read_striped(
+            [self._datafile(i) for i in ids],
+            np.asarray(foff, np.int64) * itemsize,
+            count * itemsize, np.asarray(roff, np.int64) * itemsize,
+            np.asarray(rcnt, np.int64) * itemsize) \
+            if ids else b""
+        if raw is not None:
+            outb[:] = np.frombuffer(raw, np.uint8).reshape(
+                count, itemsize)
+        else:
+            for i, fo, ro, rc in zip(ids, foff, roff, rcnt):
+                with open(self._datafile(i), "rb") as fh:
+                    fh.seek(fo * itemsize)
+                    buf = fh.read(rc * itemsize)
+                outb[ro:ro + rc] = np.frombuffer(
+                    buf, dtype=np.uint8).reshape(rc, itemsize)
         if self.nmemb > 1:
             return out.reshape(count, self.nmemb)
         return out
@@ -237,20 +262,25 @@ class BigBlock:
         assert flat.shape[1] == self.nmemb, \
             f"nmemb mismatch: {flat.shape[1]} != {self.nmemb}"
         itemsize = self.dtype.itemsize * self.nmemb
-        off = self.foffset
-        row = 0
-        for i in range(self.Nfile):
-            lo = max(start, off[i])
-            hi = min(start + count, off[i + 1])
-            if hi <= lo:
-                continue
-            chunk = flat[row:row + hi - lo]
-            with open(self._datafile(i), "r+b") as fh:
-                fh.seek((lo - off[i]) * itemsize)
-                fh.write(chunk.tobytes())
-            self.fchecksum[i] = (self.fchecksum[i] + _bytesum(chunk)) \
-                & 0xFFFFFFFF
-            row += hi - lo
+        ids, foff, roff, rcnt = self._stripe_plan(start, count)
+        sums = _native.write_striped(
+            [self._datafile(i) for i in ids],
+            np.asarray(foff, np.int64) * itemsize,
+            np.ascontiguousarray(flat).tobytes(),
+            np.asarray(roff, np.int64) * itemsize,
+            np.asarray(rcnt, np.int64) * itemsize) if ids else []
+        if sums is not None:
+            for i, s in zip(ids, np.asarray(sums, np.uint64)):
+                self.fchecksum[i] = (self.fchecksum[i] + int(s)) \
+                    & 0xFFFFFFFF
+        else:
+            for i, fo, ro, rc in zip(ids, foff, roff, rcnt):
+                chunk = flat[ro:ro + rc]
+                with open(self._datafile(i), "r+b") as fh:
+                    fh.seek(fo * itemsize)
+                    fh.write(chunk.tobytes())
+                self.fchecksum[i] = (self.fchecksum[i]
+                                     + _bytesum(chunk)) & 0xFFFFFFFF
         self._write_header()
 
     def __getitem__(self, idx):

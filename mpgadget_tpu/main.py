@@ -114,6 +114,7 @@ def build_simulation(paramfile_or_ps, override=None, snapshot=None):
         metals_sph_weighting=ps["MetalsSPHWeighting"],
         metals_max_ngb_deviation=ps["MetalsMaxNgbDeviation"],
         part_alloc_factor=ps["PartAllocFactor"],
+        bytes_per_file=ps["BytesPerFile"],
         plane_output_list=ps["PlaneOutputList"],
         plane_resolution=ps["PlaneResolution"],
         plane_thickness=ps["PlaneThickness"],

@@ -160,6 +160,7 @@ class SimConfig:
     output_energy_debug: bool = False
     # FOF
     part_alloc_factor: float = 1.5
+    bytes_per_file: int = 1 << 30      # output striping (BytesPerFile)
     # lensing potential planes (plane.c)
     plane_output_list: str = ""
     plane_resolution: int = 256
@@ -2079,10 +2080,14 @@ class Simulation:
                 continue
             extra = self._species_extra_blocks(t, sel, atime)
             extra["Potential"] = pot[sel].astype("<f4")
+            # stripe count from the largest block (f8[3] positions),
+            # petaio.c EnableAggregatedIO/BytesPerFile sizing
+            nfile = max(1, int(np.ceil(
+                int(ntot[t]) * 24 / self.cfg.bytes_per_file)))
             snap_io.write_species(
                 bf, t, pos=pos[sel], vel=vel[sel], pid=pid[sel],
                 mass=mass[sel], atime=atime, use_peculiar=True,
-                extra=extra)
+                extra=extra, Nfile=nfile)
         header = snap_io.SnapshotHeader(
             TotNumPart=ntot, MassTable=np.zeros(6), Time=atime,
             TimeIC=self.time_ic, BoxSize=self.cfg.boxsize,

@@ -87,3 +87,60 @@ def test_blocks_listing(tmp_path):
     assert "1/ID" in names
     assert "0/ID" in bf
     assert "0/Nope" not in bf
+
+
+def test_native_io_and_reference_c_crosscheck(tmp_path):
+    """The native (OpenMP C) striped writer produces files the
+    REFERENCE's own C bigfile library reads back bit-exactly,
+    checksums included."""
+    import subprocess
+    import sys
+    from mpgadget_tpu.io import _native
+
+    rng = np.random.RandomState(8)
+    data = rng.randn(1000, 3).astype("<f4")
+    bf = BigFile(str(tmp_path / "snap"), create=True)
+    bf.create_from_array("0/TestBlock", data, Nfile=3)
+    # our own reader round-trips
+    back = bf.open("0/TestBlock").read()
+    assert np.array_equal(back, data)
+
+    ref_src = "/root/reference/depends/bigfile/src"
+    if not os.path.exists(os.path.join(ref_src, "bigfile.c")):
+        pytest.skip("reference bigfile C source unavailable")
+    prog = tmp_path / "readback.c"
+    prog.write_text(r'''
+#include <stdio.h>
+#include <stdlib.h>
+#include "bigfile.h"
+int main(int argc, char** argv) {
+    BigFile bf = {0};
+    BigBlock bb = {0};
+    if (big_file_open(&bf, argv[1])) return 1;
+    if (big_file_open_block(&bf, &bb, "0/TestBlock")) return 2;
+    if (bb.Nfile != 3) return 3;
+    BigArray arr = {0};
+    BigBlockPtr ptr = {0};
+    if (big_block_seek(&bb, &ptr, 0)) return 4;
+    float* buf = malloc(sizeof(float) * 3 * bb.size);
+    size_t dims[2] = {bb.size, 3};
+    big_array_init(&arr, buf, "<f4", 2, dims, NULL);
+    if (big_block_read(&bb, &ptr, &arr)) return 5;
+    double s = 0;
+    for (size_t i = 0; i < 3 * bb.size; i++) s += buf[i];
+    printf("%zu %.8e\n", (size_t) bb.size, s);
+    if (big_block_close(&bb)) return 6;
+    big_file_close(&bf);
+    return 0;
+}
+''')
+    exe = tmp_path / "readback"
+    subprocess.run(
+        ["gcc", "-I", ref_src, str(prog),
+         os.path.join(ref_src, "bigfile.c"), "-o", str(exe)],
+        check=True, capture_output=True, timeout=120)
+    out = subprocess.run([str(exe), str(tmp_path / "snap")],
+                         check=True, capture_output=True, timeout=60,
+                         text=True).stdout.split()
+    assert int(out[0]) == 1000
+    assert np.isclose(float(out[1]), float(data.sum()), rtol=1e-6)
