@@ -87,7 +87,8 @@ def check_hmf(outdir):
     pigs = sorted(glob.glob(os.path.join(outdir, "PIG_*")))
     assert pigs, "no FOF catalogs written"
     bf = BigFile(pigs[-1])
-    hh = float(np.asarray(bf.open("Header").attrs["HubbleParam"]))
+    hh = float(np.asarray(bf.open("Header").attrs["HubbleParam"])
+               .reshape(-1)[0])
     masses = bf.open("FOFGroups/Mass").read() * 1e10 / hh
     assert masses.size > 0, "no halos found"
     assert np.max(masses) > 9e12, f"max halo mass {np.max(masses):g}"

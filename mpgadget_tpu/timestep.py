@@ -64,8 +64,11 @@ def get_long_range_timestep_dloga(pdata, CP, atime, asmth_len,
         if omega <= 0:
             continue
         dmean = (min_mass[t] / (omega * CP.RhoCrit)) ** (1.0 / 3)
+        vrms = np.sqrt(v_sum[t] / count[t])
+        if vrms <= 0:      # cold start: no displacement constraint
+            continue
         d1 = (par.MaxRMSDisplacementFac * hubble * atime * atime
-              * min(asmth_len, dmean) / np.sqrt(v_sum[t] / count[t]))
+              * min(asmth_len, dmean) / vrms)
         if t != fast_particle_type and d1 < dloga:
             dloga = d1
     return max(dloga, par.MinSizeTimestep)
