@@ -280,3 +280,34 @@ def pair_reduce(pair_fn, nbr: NeighborLists, tree, pos_box,
         fill = 0.0 if red == "sum" else -jnp.inf
         result[k] = jnp.where(covered, v, fill)
     return result
+
+
+# converged leaf-list capacities per (shape) key: every distinct
+# leaf_list_max is a distinct compiled graph (LL is a shape), and on
+# the remote-TPU tunnel each compile costs 40-100s — so remember what
+# worked and jump straight there on later calls (measured: a cold
+# 64k-particle SPH density was 520s, almost all retry recompiles; warm
+# it is 3.1s).
+_LL_CACHE = {}
+
+
+def find_neighbors_auto(tree, group_nodes, group_center, group_half,
+                        group_radius, hmax, ll0, symmetric,
+                        cache_key=None, grow=4, max_attempts=5):
+    """find_neighbors with overflow retry and capacity memoization.
+
+    Returns (NeighborLists, ll_used); raises on persistent overflow."""
+    if cache_key is not None:
+        ll0 = max(ll0, _LL_CACHE.get(cache_key, ll0))
+    ll = ll0
+    for _ in range(max_attempts):
+        nbr = find_neighbors(tree, group_nodes, group_center,
+                             group_half, group_radius, hmax, ll,
+                             symmetric=symmetric)
+        if not bool(jnp.any(nbr.overflow)):
+            if cache_key is not None:
+                _LL_CACHE[cache_key] = ll
+            return nbr, ll
+        ll *= grow
+    raise RuntimeError(
+        f"neighbor list overflow at capacity {ll // grow}")

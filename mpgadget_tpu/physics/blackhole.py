@@ -109,13 +109,9 @@ def _bh_pair_setup(ipos, mass, hsml, include, is_bh, boxsize):
     tidx = jnp.clip(tps[:, None] + offg[None, :], 0, n - 1)
     tm = offg[None, :] < tpc[:, None]
     gradius = jnp.max(jnp.where(tm, hs[tidx], 0.0), axis=1)
-    ll = 64
-    for _ in range(4):
-        nbr = pairs.find_neighbors(tree, leaf_nodes, gc, gh, gradius,
-                                   None, ll, symmetric=False)
-        if not bool(jnp.any(nbr.overflow)):
-            break
-        ll *= 2
+    nbr, _ = pairs.find_neighbors_auto(
+        tree, leaf_nodes, gc, gh, gradius, None, 64, symmetric=False,
+        cache_key=("bh_pair", n))
     return tree, nbr, perm, inv, pos_box
 
 
@@ -384,14 +380,10 @@ def swallow_and_feedback(par: BHParams, key, *, ipos, mass, hsml,
     hm = pairs.node_hmax(
         tree, leaf_ids, n_leaves,
         jnp.where(is_bh[perm], hsml[perm] / boxsize, 0.0), 16)
-    ll = 64
-    for _ in range(4):
-        nbr = pairs.find_neighbors(tree, leaf_nodes, gc, gh,
-                                   jnp.zeros(gc.shape[0], jnp.float32),
-                                   hm, ll, symmetric=True)
-        if not bool(jnp.any(nbr.overflow)):
-            break
-        ll *= 2
+    nbr, _ = pairs.find_neighbors_auto(
+        tree, leaf_nodes, gc, gh,
+        jnp.zeros(gc.shape[0], jnp.float32), hm, 64, symmetric=True,
+        cache_key=("bh_feedback", n))
 
     L = boxsize
     fb_energy = par.feedback_factor * 0.1 * mdot * dtime \

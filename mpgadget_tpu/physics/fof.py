@@ -86,13 +86,9 @@ def fof_label(ipos, valid_primary, boxsize, linking_length,
 
     ll_box = linking_length / boxsize
     gradius = jnp.full(gc.shape[0], ll_box, jnp.float32)
-    ll = cfg.leaf_list_max
-    for _ in range(4):
-        nbr = pairs.find_neighbors(tree, leaf_nodes, gc, gh, gradius,
-                                   None, ll, symmetric=False)
-        if not bool(jnp.any(nbr.overflow)):
-            break
-        ll *= 2
+    nbr, _ = pairs.find_neighbors_auto(
+        tree, leaf_nodes, gc, gh, gradius, None, cfg.leaf_list_max,
+        symmetric=False, cache_key=("fof_primary", n))
 
     labels = jnp.where(valid_s, jnp.arange(n, dtype=jnp.int32), n)
     for it in range(cfg.max_rounds):
@@ -160,15 +156,10 @@ def fof_secondary(ipos, is_secondary, is_primary, labels_primary,
         if not bool(jnp.any(need)):
             break
         gradius = jnp.full(gc.shape[0], radius, jnp.float32)
-        ll = cfg.leaf_list_max
-        nbr = None
-        for _ in range(4):
-            nbr = pairs.find_neighbors(tree, leaf_nodes, gc, gh,
-                                       gradius, None, ll,
-                                       symmetric=False)
-            if not bool(jnp.any(nbr.overflow)):
-                break
-            ll *= 2
+        nbr, _ = pairs.find_neighbors_auto(
+            tree, leaf_nodes, gc, gh, gradius, None,
+            cfg.leaf_list_max, symmetric=False,
+            cache_key=("fof_secondary", n))
         rad = radius
 
         def pair_fn_r(dx, r, tmask, smask, tfeat, sfeat, rad=rad):

@@ -346,14 +346,10 @@ def metal_return_step(ipos, mass, hsml_gas, gas_rho, is_gas, is_star,
                         tree.pcount[safe_nodes], 0)
         tm = offg[None, :] < tpc[:, None]
         gradius = jnp.max(jnp.where(tm, hsml_box[tidx], 0.0), axis=1)
-        ll = params.leaf_list_max
-        for _attempt in range(4):
-            nbr = pairs.find_neighbors(tree, leaf_nodes, gc, gh,
-                                       gradius, None, ll,
-                                       symmetric=False)
-            if not bool(jnp.any(nbr.overflow)):
-                break
-            ll *= 2
+        nbr, _ = pairs.find_neighbors_auto(
+            tree, leaf_nodes, gc, gh, gradius, None,
+            params.leaf_list_max, symmetric=False,
+            cache_key=("metal_hsml", n))
         out = pairs.pair_reduce(
             count_pair_fn, nbr, tree, pos_box,
             {"hsml": hsml_box},
@@ -406,14 +402,11 @@ def metal_return_step(ipos, mass, hsml_gas, gas_rho, is_gas, is_star,
 
     reducers = {"dmass": "sum"}
     reducers.update({f"dz{i}": "sum" for i in range(NMETALS)})
-    ll = params.leaf_list_max
-    for _attempt in range(4):
-        nbr2 = pairs.find_neighbors(tree, leaf_nodes, gc, gh,
-                                    jnp.zeros(gc.shape[0], jnp.float32),
-                                    hmax, ll, symmetric=True)
-        if not bool(jnp.any(nbr2.overflow)):
-            break
-        ll *= 2
+    nbr2, _ = pairs.find_neighbors_auto(
+        tree, leaf_nodes, gc, gh,
+        jnp.zeros(gc.shape[0], jnp.float32), hmax,
+        params.leaf_list_max, symmetric=True,
+        cache_key=("metal_spread", n))
     sp = pairs.pair_reduce(
         spread_pair_fn, nbr2, tree, pos_box,
         {"gmass": gmass_s, "grho": grho_s},

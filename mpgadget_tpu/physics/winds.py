@@ -170,13 +170,9 @@ def dm_velocity_dispersion(ipos, vel, mass, is_dm, is_gas, boxsize,
         radius = nsearch_radius * mean_sep / boxsize
         rad_s = jnp.full(n, radius, jnp.float32)
         gradius = jnp.full(gc.shape[0], radius, jnp.float32)
-    ll = 96
-    for _ in range(4):
-        nbr = pairs.find_neighbors(tree, leaf_nodes, gc, gh, gradius,
-                                   None, ll, symmetric=False)
-        if not bool(jnp.any(nbr.overflow)):
-            break
-        ll *= 2
+    nbr, _ = pairs.find_neighbors_auto(
+        tree, leaf_nodes, gc, gh, gradius, None, 96, symmetric=False,
+        cache_key=("vdisp", n))
 
     def pair_fn(dx, r, tmask, smask, tfeat, sfeat):
         near = (r < tfeat["rad"]) & (sfeat["isdm"] > 0)
@@ -270,13 +266,9 @@ def winds_via_neighbors(par: WindParams, key, *, ipos, mass, hsml, pid,
         inside = (r < tfeat["hsml"]) & (sfeat["gm"] > 0)
         return {"w": jnp.where(inside, sfeat["gm"], 0.0)}
 
-    ll = 256
-    for _ in range(4):
-        nbr = pairs.find_neighbors(tree, leaf_nodes, gc, gh, gradius,
-                                   None, ll, symmetric=False)
-        if not bool(jnp.any(nbr.overflow)):
-            break
-        ll *= 2
+    nbr, ll = pairs.find_neighbors_auto(
+        tree, leaf_nodes, gc, gh, gradius, None, 256, symmetric=False,
+        cache_key=("wind_weight", n))
     out = pairs.pair_reduce(
         weight_fn, nbr, tree, pos_box, {"hsml": hsml_s},
         {"gm": gmass_s}, {"w": "sum"}, G, 16)
@@ -303,14 +295,10 @@ def winds_via_neighbors(par: WindParams, key, *, ipos, mass, hsml, pid,
         h = hit(r, tfeat, sfeat)
         return {"rkey": jnp.where(h, BIGR - r, -jnp.inf)}
 
-    for _ in range(4):
-        nbr2 = pairs.find_neighbors(
-            tree, leaf_nodes, gc, gh,
-            jnp.zeros(gc.shape[0], jnp.float32), hmax, ll,
-            symmetric=True)
-        if not bool(jnp.any(nbr2.overflow)):
-            break
-        ll *= 2
+    nbr2, _ = pairs.find_neighbors_auto(
+        tree, leaf_nodes, gc, gh,
+        jnp.zeros(gc.shape[0], jnp.float32), hmax, ll, symmetric=True,
+        cache_key=("wind_kick", n))
     # float ID features: pair_uniform needs integer-ish values; pass
     # the uint32 ids bit-cast through float32 is lossy, so use two
     # feature arrays holding the low/high 16 bits exactly.

@@ -139,14 +139,10 @@ def sph_density(ipos, mass, valid_gas, hsml, vel, velpred, entvarpred,
         tm = offg[None, :] < tpc[:, None]
         gradius = jnp.max(jnp.where(tm, hsml_box[tidx], 0.0), axis=1)
 
-        ll = par.leaf_list_max
-        for _attempt in range(4):
-            nbr = pairs.find_neighbors(tree, leaf_nodes, gc, gh,
-                                       gradius, None, ll,
-                                       symmetric=False)
-            if not bool(jnp.any(nbr.overflow)):
-                break
-            ll *= 2
+        nbr, _ = pairs.find_neighbors_auto(
+            tree, leaf_nodes, gc, gh, gradius, None,
+            par.leaf_list_max, symmetric=False,
+            cache_key=("sph_density", n, par.group_max))
         target_feats = {"hsml": hsml_box, "vel": vel[perm]}
         out = pairs.pair_reduce(
             pair_fn, nbr, tree, pos_box, target_feats, source_feats,

@@ -207,13 +207,11 @@ def hydro_force(ipos, mass, valid_gas, hsml, velpred, entvarpred,
     hsml_box = s(hsml) * jnp.float32(inv_box)
     gradius = jnp.max(jnp.where(tm, hsml_box[tidx], 0.0), axis=1)
 
-    ll = par.leaf_list_max
-    for _attempt in range(4):
-        nbr = pairs.find_neighbors(tree, leaf_nodes, gc, gh, gradius,
-                                   hmax, ll, symmetric=True)
-        if not bool(jnp.any(nbr.overflow)):
-            break
-        ll *= 2
+    nbr, _ = pairs.find_neighbors_auto(
+        tree, leaf_nodes, gc, gh, gradius, hmax,
+        par.leaf_list_max, symmetric=True,
+        cache_key=("hydra", n, par.group_max
+                   if hasattr(par, "group_max") else 32))
 
     pair_fn = _hydro_pair_fn(par, boxsize, fac_mu, fac_vsic_fix,
                              hubble_a2, dloga)
