@@ -25,6 +25,8 @@ _C_SRC = r"""
 #include <stdint.h>
 #include <stdio.h>
 #include <string.h>
+#include <fcntl.h>
+#include <unistd.h>
 
 uint32_t sysv_sum(const unsigned char* buf, int64_t n) {
     uint64_t s = 0;
@@ -46,9 +48,13 @@ int write_files(int nfiles, const char** paths,
     int i;
     #pragma omp parallel for reduction(+:nfail) schedule(dynamic)
     for (i = 0; i < nfiles; i++) {
-        FILE* fh = fopen(paths[i], "r+b");
-        if (!fh) fh = fopen(paths[i], "w+b");
-        if (!fh) { nfail++; continue; }
+        /* O_CREAT without O_TRUNC: a transient open failure (EMFILE/
+         * EINTR under the thread fan-out) can never truncate data
+         * already written to an existing stripe file. */
+        int fd = open(paths[i], O_RDWR | O_CREAT, 0644);
+        if (fd < 0) { nfail++; continue; }
+        FILE* fh = fdopen(fd, "r+b");
+        if (!fh) { close(fd); nfail++; continue; }
         if (fseeko(fh, (off_t)file_off[i], SEEK_SET) != 0 ||
             fwrite(buf + buf_off[i], 1, (size_t)nbytes[i], fh)
                 != (size_t)nbytes[i])
@@ -83,11 +89,13 @@ _tried = False
 
 
 def _build():
+    import hashlib
     cache = os.path.join(tempfile.gettempdir(),
                          f"mpgadget_tpu_native_{os.getuid()}")
     os.makedirs(cache, exist_ok=True)
-    so = os.path.join(cache, "libmpgio.so")
-    src = os.path.join(cache, "mpgio.c")
+    tag = hashlib.sha1(_C_SRC.encode()).hexdigest()[:12]
+    so = os.path.join(cache, f"libmpgio_{tag}.so")
+    src = os.path.join(cache, f"mpgio_{tag}.c")
     if not os.path.exists(so):
         with open(src, "w") as fh:
             fh.write(_C_SRC)

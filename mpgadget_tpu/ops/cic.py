@@ -42,20 +42,23 @@ def cell_and_frac(ipos, nmesh: int):
 def _corner_indices_weights(ipos, nmesh: int):
     """Yield (flat_index i32[N], weight f32[N]) for the 8 CIC corners."""
     cell, frac = cell_and_frac(ipos, nmesh)
-    n = jnp.int32(nmesh)
+    # int32 flat indices overflow at nmesh >= 1291 (1291^3 > 2^31);
+    # promote to int64 there (slower gathers, only hit by huge meshes)
+    idt = jnp.int32 if nmesh < 1291 else jnp.int64
+    n = idt(nmesh)
     # (cell + d) % n via mask for power-of-two, else mod
     pow2 = nmesh & (nmesh - 1) == 0
     for dx in (0, 1):
         wx = (1.0 - frac[:, 0]) if dx == 0 else frac[:, 0]
-        ix = cell[:, 0] + dx
+        ix = cell[:, 0].astype(idt) + dx
         ix = (ix & (n - 1)) if pow2 else (ix % n)
         for dy in (0, 1):
             wy = (1.0 - frac[:, 1]) if dy == 0 else frac[:, 1]
-            iy = cell[:, 1] + dy
+            iy = cell[:, 1].astype(idt) + dy
             iy = (iy & (n - 1)) if pow2 else (iy % n)
             for dz in (0, 1):
                 wz = (1.0 - frac[:, 2]) if dz == 0 else frac[:, 2]
-                iz = cell[:, 2] + dz
+                iz = cell[:, 2].astype(idt) + dz
                 iz = (iz & (n - 1)) if pow2 else (iz % n)
                 yield (ix * n + iy) * n + iz, wx * wy * wz
 

@@ -275,6 +275,12 @@ def spawn_stars(pdata, sph, make_star, convert, star_mass, atime,
         ptype=scatter(ptype, jnp.full(n, 4, jnp.int32)),
         ipos=pdata.ipos.at[dest].set(pdata.ipos, mode="drop"),
         vel=pdata.vel.at[dest].set(pdata.vel, mode="drop"),
+        # spawned stars inherit the parent gas kernel size
+        # (slots_split_particle copies the whole particle incl. Hsml,
+        # slotsmanager.c:105) — winds-of-new-stars uses it as the kick
+        # radius
+        hsml=pdata.hsml.at[dest].set(pdata.hsml, mode="drop"),
+        dt_hsml=pdata.dt_hsml.at[dest].set(pdata.dt_hsml, mode="drop"),
         mass=scatter(new_mass, star_mass),
         pid=pdata.pid.at[dest].set(
             pdata.pid + jnp.int64(2 ** 40), mode="drop"),

@@ -1201,15 +1201,20 @@ class Simulation:
         if self._tree_grav is None:
             self.compute_forces(measure_power=False)
         tg = self._tree_grav
-        tree_kwargs = tg.force_kwargs(
-            n_local + 2 * max(256, n_local // 4))
+        # size the tree for exactly the rows the sharded step walks:
+        # n_local locals + 2 ghost strips of ghost_cap each (must match
+        # sharded_treepm_step's ghost_frac sizing)
+        ghost_frac = 0.5
+        ghost_cap = max(256, int(n_local * ghost_frac))
+        tree_kwargs = tg.force_kwargs(n_local + 2 * ghost_cap)
         tree_kwargs["with_potential"] = False
         step = sharded_treepm_step(
             device_mesh, nmesh=self.cfg.nmesh, boxsize=self.cfg.boxsize,
             gconst=self.CP.GravInternal, asmth=self.cfg.asmth,
             rcut=self.cfg.rcut,
             softening=tg.softening, err_tol_force_acc=tg.err_tol_force_acc,
-            n_local=n_local, tree_kwargs=tree_kwargs)
+            n_local=n_local, ghost_frac=ghost_frac,
+            tree_kwargs=tree_kwargs)
         acc = self.pdata.grav_accel + self.pdata.grav_pm
         amag = jnp.sqrt(jnp.sum(acc * acc, axis=-1))
 
@@ -1776,8 +1781,16 @@ class Simulation:
                 self.pdata.ipos, self.pdata.hsml,
                 self.pdata.potential, self.pdata.vel, srcs, is_bh_now,
                 self.cfg.boxsize)
+            # store in the offset-free output frame (like Position and
+            # FOF MassCenterPosition) so the snapshot block agrees with
+            # Position and survives per-PM-step offset re-randomization
+            off_pos = jnp.asarray(
+                self._ipos_offset.astype(np.float64) * 2.0 ** -32
+                * self.cfg.boxsize, jnp.float32)
+            mp_out = jnp.mod(mp_pos - off_pos[None, :],
+                             jnp.float32(self.cfg.boxsize))
             self.bh = self.bh.replace(
-                min_pot_pos=jnp.where(found[:, None], mp_pos,
+                min_pot_pos=jnp.where(found[:, None], mp_out,
                                       self.bh.min_pot_pos))
             ip_new = pos_to_fixed(mp_pos, self.cfg.boxsize)
             self.pdata = self.pdata.replace(
