@@ -282,6 +282,245 @@ def pair_reduce(pair_fn, nbr: NeighborLists, tree, pos_box,
     return result
 
 
+@struct.dataclass
+class PackedSources:
+    """Sub-row-packed per-leaf source buffer (make_leaf_sources analog
+    for the generic pair engine, treewalk.c:930 gather side).
+
+    packed[s] = [x*sub | y*sub | z*sub | valid*sub | col_0*sub | ...]
+    where s indexes sub-rows: each leaf's particle range padded up to a
+    multiple of ``sub`` aligned slots.  A block's source fetch becomes
+    ONE contiguous row gather instead of a per-element random gather
+    (the measured ~4x pathology on v5e, see gravity/treewalk.py).
+    """
+    packed: jnp.ndarray          # f32[sr_cap, (4+F)*sub]
+    node_first_sub: jnp.ndarray  # i32[C]
+    node_nsub: jnp.ndarray       # i32[C]
+    overflow: jnp.ndarray        # bool
+
+
+@partial(jax.jit, static_argnames=("nleaf_cap", "sr_cap", "sub"))
+def pack_sources(tree, pos_box, valid_sorted, cols, nleaf_cap, sr_cap,
+                 sub=8):
+    """Build a PackedSources buffer for the sorted particle arrays.
+
+    cols: f32[N, F] extra source-feature columns (sorted order).
+    Padding slots and invalid particles carry valid=0.
+    """
+    n = pos_box.shape[0]
+    C = tree.capacity
+    F = cols.shape[1]
+    iota_c = jnp.arange(C, dtype=jnp.int32)
+    is_leaf = tree.is_leaf & (iota_c < tree.n_nodes) & (tree.pcount > 0)
+    rank = jnp.cumsum(is_leaf.astype(jnp.int32)) - 1
+    nleaf = jnp.sum(is_leaf.astype(jnp.int32))
+    leaf_nodes = jnp.zeros(nleaf_cap, jnp.int32).at[
+        jnp.where(is_leaf, rank, nleaf_cap)].set(iota_c, mode="drop")
+    lrow = jnp.arange(nleaf_cap, dtype=jnp.int32)
+    lok = lrow < nleaf
+    pc = jnp.where(lok, tree.pcount[leaf_nodes], 0)
+    n_sub = ((pc + (sub - 1)) // sub).astype(jnp.int32)
+    first_sub = (jnp.cumsum(n_sub) - n_sub).astype(jnp.int32)
+    total_sub = first_sub[-1] + n_sub[-1]
+    overflow = (nleaf > nleaf_cap) | (total_sub > sr_cap)
+
+    # sub-row -> leaf by scatter + forward fill
+    dest = jnp.where(n_sub > 0, jnp.minimum(first_sub, sr_cap), sr_cap)
+    mark = jnp.zeros(sr_cap, jnp.int32).at[dest].max(lrow, mode="drop")
+    lof = jax.lax.cummax(mark)
+    srow = jnp.arange(sr_cap, dtype=jnp.int32)
+    off = srow - first_sub[lof]
+    sstart = tree.pstart[leaf_nodes[lof]] + sub * off
+    cnt = jnp.clip(pc[lof] - sub * off, 0, sub)
+    cnt = jnp.where(srow < total_sub, cnt, 0)
+
+    idx = jnp.clip(sstart[:, None]
+                   + jnp.arange(sub, dtype=jnp.int32)[None, :], 0, n - 1)
+    ok = (jnp.arange(sub, dtype=jnp.int32)[None, :] < cnt[:, None]) \
+        & valid_sorted[idx]
+    vflag = ok.astype(jnp.float32)
+    parts = [pos_box[idx, 0], pos_box[idx, 1], pos_box[idx, 2], vflag]
+    for f in range(F):
+        parts.append(jnp.where(ok, cols[idx, f], 0.0))
+    packed = jnp.concatenate(parts, axis=1)      # (SR, (4+F)*sub)
+
+    node_first_sub = jnp.zeros(C, jnp.int32).at[leaf_nodes].set(
+        jnp.where(lok, first_sub, 0), mode="drop")
+    node_nsub = jnp.zeros(C, jnp.int32).at[leaf_nodes].set(
+        jnp.where(lok, n_sub, 0), mode="drop")
+    return PackedSources(packed=packed, node_first_sub=node_first_sub,
+                         node_nsub=node_nsub, overflow=overflow)
+
+
+def pair_reduce_packed(pair_fn, nbr: NeighborLists, tree,
+                       ps: PackedSources, pos_box, target_feats: Dict,
+                       source_spec, reducers: Dict[str, str],
+                       group_max: int, src_cap: int, sub: int = 8,
+                       group_batch: int = 256, chunk: int = 256):
+    """pair_reduce over a PackedSources buffer.
+
+    Per group the recorded source leaves' sub-rows are compacted into a
+    dense src_cap-slot buffer (sub-row granularity) and fetched with ONE
+    row gather, then pair_fn is evaluated on (B, G, CH) chunks.
+
+    source_spec: tuple of (name, width) — how to reassemble the packed
+    feature columns into the sfeat dict (width 1 -> (B,1,S); width 3 ->
+    (B,1,S,3)).  Column order must match the cols passed to
+    pack_sources.  Returns (result dict in sorted particle order,
+    overflow bool[ngroups]).
+    """
+    n = pos_box.shape[0]
+    ngroups = nbr.leaf_idx.shape[0]
+    G = group_max
+    LL = nbr.leaf_idx.shape[1]
+    S = src_cap
+    assert S % sub == 0
+    SS = S // sub
+    SR = ps.packed.shape[0]
+    nF = 4 + sum(w for _, w in source_spec)
+
+    safe_nodes = jnp.minimum(nbr.group_nodes, tree.capacity - 1)
+    tps = tree.pstart[safe_nodes]
+    tpc = jnp.where(nbr.group_nodes < tree.n_nodes,
+                    tree.pcount[safe_nodes], 0)
+    offg = jnp.arange(G, dtype=jnp.int32)
+    tidx = jnp.clip(tps[:, None] + offg[None, :], 0, n - 1)
+    tmask = offg[None, :] < tpc[:, None]
+
+    # group's leaf list -> sub-row slots (scatter + forward fill, the
+    # evaluate_leaves compaction at sub-row granularity)
+    safe_leaf = jnp.minimum(nbr.leaf_idx, tree.capacity - 1)
+    in_list = (jnp.arange(LL)[None, :] < nbr.n_leaves[:, None]) \
+        & (nbr.leaf_idx < tree.n_nodes)
+    lsub = jnp.where(in_list, ps.node_nsub[safe_leaf], 0)   # (ngr, LL)
+    lfirst = ps.node_first_sub[safe_leaf]
+    prefix = jnp.cumsum(lsub, axis=1) - lsub
+    total = prefix[:, -1] + lsub[:, -1]
+    overflow = (total > SS) | nbr.overflow
+
+    rows = jnp.arange(ngroups, dtype=jnp.int32)[:, None]
+    dest = jnp.where(lsub > 0, jnp.minimum(prefix, SS), SS)
+    mark = jnp.zeros((ngroups, SS), jnp.int32).at[rows, dest].max(
+        jnp.broadcast_to(jnp.arange(LL, dtype=jnp.int32)[None, :],
+                         (ngroups, LL)), mode="drop")
+    lid = jax.lax.cummax(mark, axis=1)
+    s_iota = jnp.arange(SS, dtype=jnp.int32)[None, :]
+    take = jnp.take_along_axis
+    srow = (take(lfirst, lid, axis=1)
+            + (s_iota - take(prefix, lid, axis=1)))
+    src_ok = s_iota < jnp.minimum(total, SS)[:, None]
+    srow = jnp.clip(srow, 0, SR - 1)
+
+    def gather_tfeats(idx):
+        out = {}
+        for k, v in target_feats.items():
+            g = v[idx]
+            out[k] = g[:, :, None] if v.ndim == 1 else g[:, :, None, :]
+        return out
+
+    CH = chunk if S % chunk == 0 else S
+
+    def eval_batch(args):
+        tidx_b, tmask_b, srow_b, srcok_b = args
+        B = tidx_b.shape[0]
+        tpos = pos_box[tidx_b]                    # (B, G, 3)
+        tfeat = gather_tfeats(tidx_b)
+        rows4 = ps.packed[srow_b]                 # (B, SS, nF*sub)
+        comps = jnp.moveaxis(
+            rows4.reshape(B, SS, nF, sub), 2, 1)  # (B, nF, SS, sub)
+        comps = comps.reshape(B, nF, S)
+        # zero the valid flag for slots beyond the compacted total
+        okf = jnp.repeat(srcok_b, sub, axis=1)    # (B, S)
+        valid = comps[:, 3] * okf
+        spos = jnp.stack([comps[:, 0], comps[:, 1], comps[:, 2]],
+                         axis=-1)                 # (B, S, 3)
+
+        def init_out():
+            out = {}
+            for k, red in reducers.items():
+                out[k] = (jnp.zeros((B, G), jnp.float32) if red == "sum"
+                          else jnp.full((B, G), -jnp.inf, jnp.float32))
+            return out
+
+        def chunk_step(carry, sl):
+            out = carry
+            cut = lambda a: jax.lax.dynamic_slice_in_dim(a, sl, CH, 1)
+            sp = jax.lax.dynamic_slice_in_dim(spos, sl, CH, 1)
+            sm = cut(valid) > 0.5                 # (B, CH)
+            sfeat = {}
+            ci = 4
+            for name, w in source_spec:
+                if w == 1:
+                    sfeat[name] = cut(comps[:, ci])[:, None, :]
+                else:
+                    sfeat[name] = jnp.stack(
+                        [cut(comps[:, ci + j]) for j in range(w)],
+                        axis=-1)[:, None, :, :]
+                ci += w
+            dx = _wrap(sp[:, None, :, :] - tpos[:, :, None, :])
+            r = jnp.sqrt(jnp.sum(dx * dx, axis=-1))
+            contrib = pair_fn(dx, r, tmask_b[:, :, None],
+                              sm[:, None, :], tfeat, sfeat)
+            pmask = tmask_b[:, :, None] & sm[:, None, :]
+            for k, red in reducers.items():
+                c = contrib[k].astype(jnp.float32)
+                c = jnp.where(pmask, c, 0.0 if red == "sum" else -jnp.inf)
+                if red == "sum":
+                    out[k] = out[k] + jnp.sum(c, axis=2)
+                else:
+                    out[k] = jnp.maximum(out[k], jnp.max(c, axis=2))
+            return out, None
+
+        out, _ = jax.lax.scan(chunk_step, init_out(),
+                              jnp.arange(0, S, CH))
+        return out
+
+    B = group_batch
+    nb = (ngroups + B - 1) // B
+    pad = nb * B - ngroups
+
+    def padarr(a):
+        if pad == 0:
+            return a.reshape((nb, B) + a.shape[1:])
+        return jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1)).reshape(
+            (nb, B) + a.shape[1:])
+
+    out = jax.lax.map(eval_batch, (padarr(tidx), padarr(tmask),
+                                   padarr(srow), padarr(src_ok)))
+    pj = jnp.arange(n, dtype=jnp.int32)
+    search_ps = jnp.where(nbr.group_nodes < tree.n_nodes, tps, n + 1)
+    gid = jnp.clip(jnp.searchsorted(search_ps, pj, side="right") - 1,
+                   0, ngroups - 1).astype(jnp.int32)
+    slot = pj - tps[gid]
+    covered = (slot >= 0) & (slot < jnp.minimum(tpc[gid], G))
+    result = {}
+    for k, red in reducers.items():
+        flat = out[k].reshape(-1, G)[:ngroups]
+        v = flat[gid, jnp.clip(slot, 0, G - 1)]
+        fill = 0.0 if red == "sum" else -jnp.inf
+        result[k] = jnp.where(covered, v, fill)
+    return result, overflow
+
+
+def flatten_source_feats(feats: Dict):
+    """(cols f32[N,F], source_spec) from a dict of [N]/[N,3] arrays.
+
+    Column order is the dict's insertion order; vector features occupy
+    consecutive columns.  Feed cols to pack_sources and source_spec to
+    pair_reduce_packed."""
+    cols = []
+    spec = []
+    for k, v in feats.items():
+        v = jnp.asarray(v, jnp.float32)
+        if v.ndim == 1:
+            cols.append(v[:, None])
+            spec.append((k, 1))
+        else:
+            cols.append(v)
+            spec.append((k, v.shape[1]))
+    return jnp.concatenate(cols, axis=1), tuple(spec)
+
+
 # converged leaf-list capacities per (shape) key: every distinct
 # leaf_list_max is a distinct compiled graph (LL is a shape), and on
 # the remote-TPU tunnel each compile costs 40-100s — so remember what

@@ -1,0 +1,342 @@
+"""Production sharded KDK step: gas+DM TreePM over balanced slabs.
+
+The round-2 sharded path (parallel/treepm.py) was a bare DM-only KDK
+with geometric slabs and single-hop ghosts.  This module is the
+production analog of the reference run loop's per-step machinery
+(run.c:358-800): count-balanced slab boundaries (domain.c:106),
+K-hop ghost strips (treewalk.c exports reach any rank), the full
+gas+DM force stack (tree + pencil-FFT PM + SPH density + hydro), the
+half-kick/drift/half-kick structure with entropy integration
+(timestep.c apply_half_kick / apply_hydro_half_kick), and psum'd
+timestep statistics so the host policy never mirrors particle arrays.
+
+Everything runs inside ONE jitted shard_map step; the host loop in
+`Simulation.run_sharded` supplies kick/drift factors, recomputes the
+balanced boundaries from the returned x-histogram, and rebuilds the
+step (memoized) when capacities or hop counts must grow.
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..gravity.treepm import tree_force
+from ..integrate import drift, kick
+from ..utils.constants import GAMMA, GAMMA_MINUS1
+from .collectives import axis_size, ring_shift
+from .decomp import (exchange_to_slabs, ghost_strips_multi, owner_of,
+                     count_histogram)
+from .pfft import pm_force_slab, cic_deposit_slab, cic_readout_slab
+
+
+def pm_force_multi(ipos, weights, nmesh, boxsize, gconst, asmth,
+                   axis_name, hops):
+    """Sharded PM force for rows that may live up to ``hops`` geometric
+    slabs away from their holder (count-balanced ownership).
+
+    Capacity-free: each shard ring-gathers the (ipos, weights) rows of
+    its 2*hops ring neighbors, deposits/reads out ONLY the rows inside
+    its own geometric mesh slab (the existing ok-masked slab kernels,
+    pfft.py:68-133), and ring-returns the accel chunks; every row's
+    accel arrives as exactly one non-zero contribution.  hops=0 is the
+    strictly-geometric case (== pm_force_slab).
+    """
+    from ..pm.gravity import potential_transfer_fac, force_transfer_fac
+    from .pfft import (_kmodes_slab, _deconv_slab, pencil_r2c,
+                       pencil_c2r)
+    S = axis_size(axis_name)
+    s = lax.axis_index(axis_name)
+    ny_loc = nmesh // S
+
+    shifts = [0]
+    for k in range(1, hops + 1):
+        shifts.append(+k)
+        if (2 * k) % S != 0:
+            shifts.append(-k)
+    chunks = [(ipos, weights)]
+    for sh in shifts[1:]:
+        chunks.append((ring_shift(ipos, axis_name, sh),
+                       ring_shift(weights, axis_name, sh)))
+    ipos_all = jnp.concatenate([c[0] for c in chunks], axis=0)
+    w_all = jnp.concatenate([c[1] for c in chunks], axis=0)
+
+    mesh_slab = cic_deposit_slab(ipos_all, w_all, nmesh, axis_name)
+    rho_k = pencil_r2c(mesh_slab, axis_name)
+    kx, ky, kz = _kmodes_slab(nmesh, ny_loc, s)
+    k2 = kx * kx + ky * ky + kz * kz
+    deconv = _deconv_slab(kx, ky, kz, nmesh)
+    pot_k = rho_k * potential_transfer_fac(
+        k2, deconv, nmesh, boxsize, gconst, asmth).astype(jnp.complex64)
+    meshes = []
+    for kk in (kx, ky, kz):
+        fk = pot_k * (1j * force_transfer_fac(kk, nmesh, boxsize)
+                      ).astype(jnp.complex64)
+        meshes.append(pencil_c2r(fk, axis_name))
+    stacked = jnp.stack(meshes, axis=-1).astype(jnp.float32)
+    acc_all = cic_readout_slab(stacked, ipos_all, axis_name)
+
+    n_loc = ipos.shape[0]
+    acc = acc_all[:n_loc]
+    for i, sh in enumerate(shifts[1:], start=1):
+        part = acc_all[i * n_loc:(i + 1) * n_loc]
+        # rows gathered with shift sh came from shard s-sh; their accel
+        # contribution returns with the inverse shift.
+        acc = acc + ring_shift(part, axis_name, -sh)
+    return acc
+
+
+def _entropy_update(entropy, dtent, dloga, density, min_egy_spec,
+                    atime, gas_mask):
+    """Half-kick entropy integration with the MinGasTemp floor and the
+    at-most-halving limiter (apply_hydro_half_kick, timestep.c)."""
+    ent = entropy + dtent * dloga
+    a3 = atime ** 3
+    minent = GAMMA_MINUS1 * min_egy_spec / jnp.maximum(
+        density / a3, 1e-30) ** GAMMA_MINUS1
+    ent = jnp.maximum(ent, minent)
+    ent = jnp.maximum(ent, 0.5 * entropy)
+    return jnp.where(gas_mask, ent, entropy)
+
+
+def build_sharded_step(mesh, *, n_local, with_gas, hops_ghost, hops_pm,
+                       bucket_cap, ghost_cap, tree_kwargs, dpar, hpar,
+                       caps_d, caps_h, nmesh, boxsize, gconst, asmth,
+                       rcut, min_egy_spec, hist_bits=12):
+    """Build the jitted production step.
+
+    step(state, bounds, scal) -> (state', stats, flags) where
+      state: dict of P('x') arrays (see Simulation.run_sharded),
+      bounds: uint32[S] replicated balanced left edges,
+      scal: dict of replicated f32 scalars — dk1/hk1/dloga1 (opening
+        half kick), ddrift, dk2/hk2/dloga2 (closing half kick), atime
+        (t1), hubble (t1).
+    stats: replicated dict — per-type v^2 sums/counts/min mass (PM
+      displacement criterion), max |acc|, gas min hsml/vsig and
+      |hsml/dt_hsml|, x histogram for rebalancing.
+    flags: replicated int bitmask (1=exchange 2=ghost 4=tree 8=density
+      16=hydro-pack 32=density-strip).
+    """
+    S = int(mesh.devices.size)
+    log2s = int(np.log2(S))
+    rcut_box = rcut * asmth / nmesh
+    inv_box = 1.0 / boxsize
+
+    if with_gas:
+        from ..sph.density import _density_all
+        from ..sph.hydra import _hydro_all
+
+    def step_local(state, bounds, scal):
+        st = dict(state)
+        valid = st["valid"]
+        gas = st["gas_mask"] if with_gas else jnp.zeros(
+            valid.shape, bool)
+
+        # ---- opening half kick with carried forces ----
+        vel = st["vel"] + st["grav_acc"] * scal["dk1"]
+        if with_gas:
+            vel = vel + jnp.where(gas[:, None], st["hydro_acc"],
+                                  0.0) * scal["hk1"]
+            st["entropy"] = _entropy_update(
+                st["entropy"], st["dtent"], scal["dloga1"],
+                st["density"], min_egy_spec, scal["atime"], gas)
+        st["vel"] = vel
+
+        # ---- drift ----
+        st["ipos"] = drift(st["ipos"], st["vel"], scal["ddrift"],
+                           inv_box)
+        if with_gas:
+            hs = st["hsml"] + st["dt_hsml"] * scal["ddrift"]
+            st["hsml"] = jnp.where(
+                gas, jnp.clip(hs, 0.0, 0.45 * boxsize), st["hsml"])
+
+        # ---- domain exchange to balanced owners ----
+        keys = sorted(st.keys())
+        arrays = [st[k] for k in keys if k != "valid"]
+        arrays_out, valid, x_ovf = exchange_to_slabs(
+            tuple(arrays), st["ipos"], valid, "x", log2s, bucket_cap,
+            boundaries=bounds)
+        st = dict(zip([k for k in keys if k != "valid"], arrays_out))
+        st["valid"] = valid
+        st["mass"] = jnp.where(valid, st["mass"], 0.0)
+        gas = (st["gas_mask"] & valid) if with_gas else gas
+
+        # ---- ghost strips #1: gravity + density sources ----
+        if with_gas:
+            entvar = jnp.where(
+                gas, jnp.maximum(st["entropy"], 1e-30) ** (1.0 / GAMMA),
+                0.0)
+            hs_box = st["hsml"] * jnp.float32(inv_box)
+            hmax = lax.pmax(jnp.max(jnp.where(gas, hs_box, 0.0)), "x")
+            w1 = jnp.maximum(jnp.float32(rcut_box),
+                             hmax * jnp.float32(1.6))
+            payload = (st["ipos"], st["mass"], st["vel"], st["hsml"],
+                       entvar, gas)
+        else:
+            w1 = jnp.float32(rcut_box)
+            payload = (st["ipos"], st["mass"])
+        ghosts, g_ok, g_ovf = ghost_strips_multi(
+            payload, st["ipos"], valid, "x", bounds, w1, ghost_cap,
+            hops_ghost)
+        ng = ghosts[0].shape[0]
+        cat = lambda a, b: jnp.concatenate([a, b], axis=0)
+        ipos_a = cat(st["ipos"], ghosts[0])
+        mass_a = cat(st["mass"], jnp.where(g_ok, ghosts[1], 0.0))
+        valid_a = cat(valid, g_ok)
+
+        # ---- tree short-range force (local+ghost rows) ----
+        amag_a = cat(st["amag"], jnp.zeros(ng, jnp.float32))
+        res = tree_force(ipos_a, mass_a, valid_a, amag_a, **tree_kwargs)
+        acc_tree = res.accel[:n_local]
+
+        # ---- PM long-range force (balanced rows, K_pm hops) ----
+        # rows whose geometric mesh slab is farther than hops_pm on the
+        # ring get no PM force: detect and flag (host raises hops_pm)
+        s_idx = lax.axis_index("x")
+        geo = (st["ipos"][:, 0] >> jnp.uint32(32 - log2s)).astype(
+            jnp.int32)
+        dring = jnp.abs(geo - s_idx)
+        dring = jnp.minimum(dring, S - dring)
+        pm_far = jnp.any(valid & (dring > hops_pm))
+        acc_pm = pm_force_multi(st["ipos"],
+                                jnp.where(valid, st["mass"], 0.0),
+                                nmesh, boxsize, gconst, asmth, "x",
+                                hops_pm)
+        grav_acc = acc_tree + acc_pm
+        st["amag"] = jnp.sqrt(jnp.sum(grav_acc * grav_acc, axis=-1))
+        st["grav_acc"] = grav_acc
+
+        flags = (x_ovf.astype(jnp.int32) + 2 * g_ovf.astype(jnp.int32)
+                 + 4 * res.overflow.astype(jnp.int32)
+                 + 64 * pm_far.astype(jnp.int32))
+
+        # ---- SPH density + hydro ----
+        if with_gas:
+            vel_a = cat(st["vel"], ghosts[2])
+            hsml_a = cat(st["hsml"], ghosts[3])
+            ev_a = cat(entvar, ghosts[4])
+            gas_a = cat(gas, ghosts[5] & g_ok)
+            tmask = cat(jnp.ones(n_local, bool), jnp.zeros(ng, bool))
+            dres, dflags = _density_all(
+                ipos_a, mass_a, gas_a, hsml_a, vel_a, vel_a, ev_a,
+                tmask, dpar, boxsize, caps_d["group"],
+                caps_d["nleaf"], caps_d["sr"], caps_d["ll"],
+                caps_d["src"], True, True, True)
+            hsml_n = jnp.where(gas, dres["hsml"][:n_local], st["hsml"])
+            strip_bad = jnp.any(
+                gas & (hsml_n * jnp.float32(inv_box * 1.26) > w1))
+            st["hsml"] = hsml_n
+            st["density"] = jnp.where(gas, dres["density"][:n_local],
+                                      st["density"])
+            st["egywt"] = jnp.where(
+                gas, dres["egy_wt_density"][:n_local], st["egywt"])
+            st["divv"] = dres["div_vel"][:n_local]
+            st["curlv"] = dres["curl_vel"][:n_local]
+            st["dhsml_egy"] = dres["dhsml_egy_factor"][:n_local]
+            st["dt_hsml"] = jnp.where(gas, dres["dt_hsml"][:n_local],
+                                      st["dt_hsml"])
+            flags = flags + 8 * jnp.any(
+                jnp.stack([dflags["group"], dflags["pack"],
+                           dflags["pair"]])).astype(jnp.int32) \
+                + 32 * strip_bad.astype(jnp.int32)
+
+            # ghost strips #2: refresh gas source fields post-density
+            hs_box = st["hsml"] * jnp.float32(inv_box)
+            hmax2 = lax.pmax(jnp.max(jnp.where(gas, hs_box, 0.0)), "x")
+            w2 = hmax2 * jnp.float32(1.05)
+            payload2 = (st["ipos"], st["mass"], st["vel"], st["hsml"],
+                        entvar, st["density"], st["egywt"], st["divv"],
+                        st["curlv"], st["dhsml_egy"], gas)
+            gh2, g2_ok, g2_ovf = ghost_strips_multi(
+                payload2, st["ipos"], gas, "x", bounds, w2, ghost_cap,
+                hops_ghost)
+            ng2 = gh2[0].shape[0]
+            cat2 = lambda a, b: jnp.concatenate([a, b], axis=0)
+            hres, hflags = _hydro_all(
+                cat2(st["ipos"], gh2[0]),
+                cat2(st["mass"], jnp.where(g2_ok, gh2[1], 0.0)),
+                cat2(gas, gh2[10] & g2_ok),
+                cat2(st["hsml"], gh2[3]), cat2(st["vel"], gh2[2]),
+                cat2(entvar, gh2[4]), cat2(st["density"], gh2[5]),
+                cat2(st["egywt"], gh2[6]), cat2(st["divv"], gh2[7]),
+                cat2(st["curlv"], gh2[8]),
+                cat2(st["dhsml_egy"], gh2[9]),
+                scal["atime"], scal["hubble"], scal["dloga_full"],
+                hpar, boxsize, caps_h["group"], caps_h["nleaf"],
+                caps_h["sr"], caps_h["ll"], caps_h["src"])
+            st["hydro_acc"] = jnp.where(
+                gas[:, None], hres["hydro_accel"][:n_local], 0.0)
+            st["dtent"] = jnp.where(gas, hres["dt_entropy"][:n_local],
+                                    0.0)
+            st["maxsig"] = jnp.where(
+                gas, hres["max_signal_vel"][:n_local], 0.0)
+            flags = flags + 16 * jnp.any(
+                jnp.stack([hflags["group"], hflags["pack"],
+                           hflags["pair"]])).astype(jnp.int32) \
+                + 2 * g2_ovf.astype(jnp.int32)
+
+        # ---- closing half kick with fresh forces ----
+        vel = st["vel"] + st["grav_acc"] * scal["dk2"]
+        if with_gas:
+            vel = vel + jnp.where(gas[:, None], st["hydro_acc"],
+                                  0.0) * scal["hk2"]
+            st["entropy"] = _entropy_update(
+                st["entropy"], st["dtent"], scal["dloga2"],
+                st["density"], min_egy_spec, scal["atime"], gas)
+        st["vel"] = vel
+
+        # ---- psum'd timestep statistics ----
+        v2 = jnp.sum(st["vel"] * st["vel"], axis=-1)
+        w = valid.astype(jnp.float32)
+        tid = jnp.where(valid, st["ptype"], 6)
+        vsum = jnp.zeros(7, jnp.float32).at[tid].add(v2 * w)[:6]
+        cnt = jnp.zeros(7, jnp.float32).at[tid].add(w)[:6]
+        mmin = jnp.full(7, jnp.inf, jnp.float32).at[tid].min(
+            jnp.where(valid, st["mass"], jnp.inf))[:6]
+        amax = jnp.max(jnp.where(valid, st["amag"], 0.0))
+        if with_gas:
+            h_over_sig = jnp.where(
+                gas, st["hsml"] / jnp.maximum(st["maxsig"], 1e-30),
+                jnp.inf)
+            h_over_dth = jnp.where(
+                gas, jnp.abs(st["hsml"]
+                             / (st["dt_hsml"] + 1e-20)), jnp.inf)
+        else:
+            h_over_sig = jnp.full(1, jnp.inf, jnp.float32)
+            h_over_dth = jnp.full(1, jnp.inf, jnp.float32)
+        hist = count_histogram(st["ipos"], valid, "x", hist_bits)
+        stats = {
+            "vsum": lax.psum(vsum, "x"),
+            "count": lax.psum(cnt, "x"),
+            "min_mass": lax.pmin(mmin, "x"),
+            "max_acc": lax.pmax(amax, "x"),
+            "min_h_over_sig": lax.pmin(jnp.min(h_over_sig), "x"),
+            "min_h_over_dth": lax.pmin(jnp.min(h_over_dth), "x"),
+            "hist": hist,
+            "n_valid": lax.psum(jnp.sum(valid.astype(jnp.int32)), "x"),
+        }
+        return st, stats, lax.psum(flags, "x")
+
+    state_keys = ["ipos", "vel", "mass", "valid", "pid", "ptype",
+                  "amag", "grav_acc"]
+    if with_gas:
+        state_keys += ["gas_mask", "hsml", "entropy", "dtent",
+                       "density", "egywt", "divv", "curlv",
+                       "dhsml_egy", "dt_hsml", "hydro_acc", "maxsig"]
+    in_state_spec = {k: P("x") for k in state_keys}
+    stats_spec = {k: P() for k in
+                  ("vsum", "count", "min_mass", "max_acc",
+                   "min_h_over_sig", "min_h_over_dth", "hist",
+                   "n_valid")}
+    scal_spec = {k: P() for k in
+                 ("dk1", "hk1", "dloga1", "ddrift", "dk2", "hk2",
+                  "dloga2", "dloga_full", "atime", "hubble")}
+    fn = shard_map(step_local, mesh=mesh,
+                   in_specs=(in_state_spec, P(), scal_spec),
+                   out_specs=(in_state_spec, stats_spec, P()),
+                   check_vma=False)
+    return jax.jit(fn), state_keys

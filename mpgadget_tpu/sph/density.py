@@ -4,8 +4,17 @@ The reference's "first SPH loop" (libgadget/density.c): for every gas
 particle, kernel-weighted density, DhsmlDensityFactor (grad-h term),
 velocity divergence/curl, and the pressure-entropy EgyWtDensity; the
 smoothing length is bisected until the effective neighbor number hits
-DesNumNgb +- MaxNumNgbDeviation (treewalk_do_hsml_loop analog — here a
-host loop re-traversing only while any particle is unconverged).
+DesNumNgb +- MaxNumNgbDeviation (treewalk_do_hsml_loop analog,
+density.c:591-660).
+
+TPU-native design: the WHOLE solve — Morton sort, tree build, source
+packing, the hsml bisection as a ``lax.while_loop`` re-traversing only
+groups with unconverged targets, and postprocessing — is ONE jitted
+graph.  The previous host-loop design dispatched a fresh graph per
+bisection iteration, which on the remote-TPU tunnel made a 32^3 gas
+init take >45 min; this compiles once and runs device-side.  Sources
+are sub-row packed (ops/pairs.pack_sources) so the per-group fetch is a
+contiguous row gather.
 """
 
 from dataclasses import dataclass
@@ -22,7 +31,7 @@ from ..gravity.treewalk import make_target_groups
 from ..ops.morton import morton_key
 
 
-@dataclass
+@dataclass(frozen=True)
 class DensityParams:
     kernel_type: int = K.QUINTIC
     eta: float = 1.0              # DensityResolutionEta
@@ -31,7 +40,9 @@ class DensityParams:
     max_iter: int = 40
     group_max: int = 32
     leaf_list_max: int = 192
-    leaf_eval_max: int = 16
+    leaf_eval_max: int = 16       # legacy engine granularity (unused)
+    src_cap: int = 2048           # packed source slots per group
+    sub: int = 8
 
     @property
     def desnumngb(self):
@@ -71,19 +82,14 @@ def _density_pair_fn(ktype):
     return fn
 
 
-def sph_density(ipos, mass, valid_gas, hsml, vel, velpred, entvarpred,
-                par: DensityParams, boxsize,
-                update_hsml=True, do_egy_density=True,
-                target_mask=None):
-    """Compute densities over gas particles (any order); returns dict of
-    arrays in the INPUT particle order + converged hsml.
+_REDUCERS = {k: "sum" for k in ("ngb", "rho", "dhsml", "egyrho",
+                                "dhsmlegy", "div", "rotx", "roty",
+                                "rotz")}
 
-    valid_gas: bool[N] — gas particles to include.
-    velpred/entvarpred: predicted source quantities (input order).
-    target_mask: optional bool[N] — only these particles drive the
-    hsml bisection (active-set stepping); others keep their hsml and
-    the caller merges their outputs.
-    """
+
+def _prep(ipos, mass, valid_gas, par, group_cap, nleaf_cap, sr_cap,
+          cols_of):
+    """Shared sort / tree / groups / pack preamble (traced code)."""
     n = ipos.shape[0]
     keys = morton_key(ipos)
     keys = jnp.where(valid_gas, keys, ~jnp.uint64(0))
@@ -92,87 +98,119 @@ def sph_density(ipos, mass, valid_gas, hsml, vel, velpred, entvarpred,
     ipos_s = ipos[perm]
     mass_s = mass[perm]
     valid_s = valid_gas[perm]
-    hsml_s = hsml[perm]
     pos_box = ipos_s.astype(jnp.float32) * jnp.float32(2.0 ** -32)
-
     cap = 2 * n + 64
     tree = build_tree(keys[perm], ipos_s, mass_s, valid_s, 16, 18, cap,
                       group_max=par.group_max)
-    group_cap = min((8 * n) // par.group_max + 64, n + 64)
     leaf_nodes, gc, gh, _, ngr, govf = make_target_groups(
         tree, pos_box, jnp.full(n, jnp.inf, jnp.float32), group_cap,
         par.group_max)
-    if bool(govf):
-        raise RuntimeError("density group capacity exceeded")
+    cols, spec = pairs.flatten_source_feats(cols_of(perm, valid_s))
+    packed = pairs.pack_sources(tree, pos_box, valid_s, cols, nleaf_cap,
+                                sr_cap, par.sub)
+    return (perm, inv, pos_box, tree, valid_s, leaf_nodes, gc, gh,
+            packed, spec, govf)
+
+
+@partial(jax.jit, static_argnames=("par", "group_cap", "nleaf_cap",
+                                   "sr_cap", "ll", "src_cap", "boxsize",
+                                   "update_hsml", "do_egy_density",
+                                   "has_target_mask"))
+def _density_all(ipos, mass, valid_gas, hsml, vel, velpred, entvarpred,
+                 target_mask, par: DensityParams, boxsize, group_cap,
+                 nleaf_cap, sr_cap, ll, src_cap, update_hsml,
+                 do_egy_density, has_target_mask):
+    """Whole density solve as one graph.  Returns (result dict in input
+    order, overflow flags dict)."""
+    n = ipos.shape[0]
+
+    def cols_of(perm, valid_s):
+        return {"mass": jnp.where(valid_s, mass[perm], 0.0),
+                "velpred": velpred[perm],
+                "entvarpred": entvarpred[perm]}
+
+    (perm, inv, pos_box, tree, valid_s, leaf_nodes, gc, gh, packed,
+     spec, govf) = _prep(ipos, mass, valid_gas, par, group_cap,
+                         nleaf_cap, sr_cap, cols_of)
 
     inv_box = 1.0 / boxsize
     desngb = par.desnumngb
     dev = par.max_ngb_deviation
-
-    left = jnp.zeros(n, jnp.float32)
-    right = jnp.full(n, jnp.inf, jnp.float32)
-    if target_mask is not None:
-        done = ~(valid_s & target_mask[perm])
-    else:
-        done = ~valid_s
-    source_feats = {
-        "mass": jnp.where(valid_s, mass_s, 0.0),
-        "velpred": velpred[perm],
-        "entvarpred": entvarpred[perm],
-    }
-    pair_fn = _density_pair_fn(par.kernel_type)
-    reducers = {k: "sum" for k in ("ngb", "rho", "dhsml", "egyrho",
-                                   "dhsmlegy", "div", "rotx", "roty",
-                                   "rotz")}
-    out = None
     G = par.group_max
+    hsml_s = hsml[perm]
+    vel_s = vel[perm]
+
+    if has_target_mask:
+        done0 = ~(valid_s & target_mask[perm])
+    else:
+        done0 = ~valid_s
+
     safe_nodes = jnp.minimum(leaf_nodes, tree.capacity - 1)
     tps = tree.pstart[safe_nodes]
+    tpc = jnp.where(leaf_nodes < tree.n_nodes,
+                    tree.pcount[safe_nodes], 0)
+    offg = jnp.arange(G, dtype=jnp.int32)
+    tidx = jnp.clip(tps[:, None] + offg[None, :], 0, n - 1)
+    tm = offg[None, :] < tpc[:, None]
 
-    for it in range(par.max_iter):
-        hsml_box = hsml_s * inv_box
-        # per-group search radius = max target Hsml (asymmetric search)
-        offg = jnp.arange(G, dtype=jnp.int32)
-        tidx = jnp.clip(tps[:, None] + offg[None, :], 0, n - 1)
-        tpc = jnp.where(leaf_nodes < tree.n_nodes,
-                        tree.pcount[safe_nodes], 0)
-        tm = offg[None, :] < tpc[:, None]
-        gradius = jnp.max(jnp.where(tm, hsml_box[tidx], 0.0), axis=1)
+    pair_fn = _density_pair_fn(par.kernel_type)
 
-        nbr, _ = pairs.find_neighbors_auto(
-            tree, leaf_nodes, gc, gh, gradius, None,
-            par.leaf_list_max, symmetric=False,
-            cache_key=("sph_density", n, par.group_max))
-        target_feats = {"hsml": hsml_box, "vel": vel[perm]}
-        out = pairs.pair_reduce(
-            pair_fn, nbr, tree, pos_box, target_feats, source_feats,
-            reducers, G, par.leaf_eval_max)
+    def one_pass(hsml_box, eval_mask):
+        """Traverse + pair-reduce for groups with any eval_mask target.
 
-        if not update_hsml:
-            break
-        # bisection (density_check_neighbours, density.c:591-660)
-        numngb = out["ngb"]
-        converged = (jnp.abs(numngb - desngb) <= dev) | done
-        low = numngb < desngb - dev
-        high = numngb > desngb + dev
-        left = jnp.where(low & ~done, hsml_box, left)
-        right = jnp.where(high & ~done, hsml_box, right)
-        # geometric-mean-of-cubes step where bracketed; else *1.26 / /1.26
-        have_both = (right < jnp.inf) & (left > 0)
-        h_new = jnp.where(
-            have_both,
-            (0.5 * (left ** 3 + right ** 3)) ** (1.0 / 3.0),
-            jnp.where(low, hsml_box * 1.26, hsml_box / 1.26))
-        h_new = jnp.clip(h_new, par.min_hsml * inv_box, 0.45)
-        hsml_s = jnp.where(converged, hsml_s, h_new * boxsize)
-        done = converged
-        if bool(jnp.all(done)):
-            break
+        Groups whose targets are all excluded get radius 0, which makes
+        the traversal skip the whole tree (near is false at the root)."""
+        gradius = jnp.max(
+            jnp.where(tm & eval_mask[tidx], hsml_box[tidx], 0.0), axis=1)
+        nbr = pairs.find_neighbors(tree, leaf_nodes, gc, gh, gradius,
+                                   None, ll, symmetric=False)
+        target_feats = {"hsml": hsml_box, "vel": vel_s}
+        out, ovf = pairs.pair_reduce_packed(
+            pair_fn, nbr, tree, packed, pos_box, target_feats, spec,
+            _REDUCERS, G, src_cap, par.sub)
+        return out, jnp.any(ovf)
+
+    zero_out = {k: jnp.zeros(n, jnp.float32) for k in _REDUCERS}
+    min_h_box = jnp.float32(par.min_hsml * inv_box)
+
+    def body(st):
+        (it, hsml_box, left, right, done, out, ovf) = st
+        undone = ~done
+        out_new, ovf_i = one_pass(hsml_box, undone)
+        out = {k: jnp.where(done, out[k], out_new[k])
+               for k in _REDUCERS}
+        numngb = out_new["ngb"]
+        if update_hsml:
+            converged = (jnp.abs(numngb - desngb) <= dev) | done
+            low = numngb < desngb - dev
+            high = numngb > desngb + dev
+            left = jnp.where(low & undone, hsml_box, left)
+            right = jnp.where(high & undone, hsml_box, right)
+            have_both = (right < jnp.inf) & (left > 0)
+            h_new = jnp.where(
+                have_both,
+                (0.5 * (left ** 3 + right ** 3)) ** (1.0 / 3.0),
+                jnp.where(low, hsml_box * 1.26, hsml_box / 1.26))
+            h_new = jnp.clip(h_new, min_h_box, 0.45)
+            hsml_box = jnp.where(converged, hsml_box, h_new)
+            done = converged
+        else:
+            done = jnp.ones_like(done)
+        return (it + 1, hsml_box, left, right, done, out,
+                ovf | ovf_i)
+
+    def cond(st):
+        return (st[0] < par.max_iter) & ~jnp.all(st[4])
+
+    st0 = (jnp.int32(0), hsml_s * jnp.float32(inv_box),
+           jnp.zeros(n, jnp.float32), jnp.full(n, jnp.inf, jnp.float32),
+           done0, zero_out, jnp.bool_(False))
+    it, hsml_box, _, _, _, out, ovf = jax.lax.while_loop(cond, body, st0)
+    hsml_s = hsml_box * jnp.float32(boxsize)
 
     # postprocess (density_postprocess, density.c:532-588)
     rho = out["rho"]
     safe_rho = jnp.maximum(rho, 1e-30)
-    hsml_box = hsml_s * inv_box
     dhsml = out["dhsml"] * hsml_box / (3.0 * safe_rho)
     dhsml_factor = 1.0 / (1.0 + dhsml)
     entpred_t = entvarpred[perm]
@@ -195,9 +233,8 @@ def sph_density(ipos, mass, valid_gas, hsml, vel, velpred, entvarpred,
     def unsort(x):
         return x[inv]
 
-    # density units: pair sums used box-unit W -> convert to internal
     vol_fac = jnp.float32(inv_box ** 3)
-    return {
+    result = {
         "hsml": unsort(hsml_s),
         "numngb": unsort(out["ngb"]),
         "density": unsort(rho) * vol_fac,
@@ -207,5 +244,62 @@ def sph_density(ipos, mass, valid_gas, hsml, vel, velpred, entvarpred,
         "div_vel": unsort(div_vel),
         "curl_vel": unsort(curl),
         "dt_hsml": unsort(dt_hsml),
-        "iterations": it + 1,
+        "iterations": it,
     }
+    flags = {"group": govf, "pack": packed.overflow, "pair": ovf}
+    return result, flags
+
+
+# converged capacities per call-site key (see ops/pairs._LL_CACHE)
+_CAP_CACHE = {}
+
+
+def _capacities(n, par, key):
+    group_cap = min((8 * n) // par.group_max + 64, n + 64)
+    base = {"ll": par.leaf_list_max, "src": par.src_cap,
+            "nleaf": n // 2 + 64,
+            "sr": n // par.sub + n // 2 + 128}
+    c = _CAP_CACHE.setdefault(key, base)
+    # never below the configured floor
+    c["ll"] = max(c["ll"], par.leaf_list_max)
+    c["src"] = max(c["src"], par.src_cap)
+    return group_cap, c
+
+
+def sph_density(ipos, mass, valid_gas, hsml, vel, velpred, entvarpred,
+                par: DensityParams, boxsize,
+                update_hsml=True, do_egy_density=True,
+                target_mask=None):
+    """Compute densities over gas particles (any order); returns dict of
+    arrays in the INPUT particle order + converged hsml.
+
+    valid_gas: bool[N] — gas particles to include.
+    velpred/entvarpred: predicted source quantities (input order).
+    target_mask: optional bool[N] — only these particles drive the
+    hsml bisection (active-set stepping); others keep their hsml and
+    the caller merges their outputs.
+    """
+    n = ipos.shape[0]
+    key = ("sph_density", n, par.group_max, par.kernel_type)
+    group_cap, caps = _capacities(n, par, key)
+    tmask = (jnp.zeros(n, bool) if target_mask is None
+             else jnp.asarray(target_mask))
+    for _ in range(6):
+        result, flags = _density_all(
+            ipos, mass, valid_gas, hsml, vel, velpred, entvarpred,
+            tmask, par, float(boxsize), group_cap, caps["nleaf"],
+            caps["sr"], caps["ll"], caps["src"], bool(update_hsml),
+            bool(do_egy_density), target_mask is not None)
+        if bool(flags["group"]):
+            raise RuntimeError("density group capacity exceeded")
+        if bool(flags["pack"]):
+            caps["nleaf"] = min(2 * caps["nleaf"], 2 * n + 64)
+            caps["sr"] = min(2 * caps["sr"], 3 * n + 128)
+            continue
+        if bool(flags["pair"]):
+            caps["ll"] *= 2
+            caps["src"] *= 2
+            continue
+        result["iterations"] = int(result["iterations"])
+        return result
+    raise RuntimeError("sph_density: capacity retries exhausted")

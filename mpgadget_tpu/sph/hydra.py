@@ -9,6 +9,7 @@ from the box-unit engine at entry).
 """
 
 from dataclasses import dataclass
+from functools import partial
 
 import numpy as np
 import jax
@@ -22,7 +23,7 @@ from ..ops.morton import morton_key
 from ..utils.constants import GAMMA, GAMMA_MINUS1
 
 
-@dataclass
+@dataclass(frozen=True)
 class HydroParams:
     kernel_type: int = K.QUINTIC
     art_bulk_visc: float = 0.75
@@ -30,7 +31,9 @@ class HydroParams:
     density_contrast_limit: float = 100.0
     group_max: int = 32
     leaf_list_max: int = 192
-    leaf_eval_max: int = 16
+    leaf_eval_max: int = 16       # legacy engine granularity (unused)
+    src_cap: int = 2048           # packed source slots per group
+    sub: int = 8
 
 
 def pressure_pred(eom_density, entvarpred):
@@ -133,16 +136,16 @@ def _hydro_pair_fn(par: HydroParams, boxsize, fac_mu, fac_vsic_fix,
     return fn
 
 
-def hydro_force(ipos, mass, valid_gas, hsml, velpred, entvarpred,
-                density, egy_wt_density, div_vel, curl_vel,
-                dhsml_egy_factor, par: HydroParams, boxsize, atime,
-                hubble, dloga):
-    """Hydro accelerations + DtEntropy + MaxSignalVel for gas particles.
-
-    All inputs in internal units, input particle order.  Returns dict in
-    the input order: hydro_accel [N,3], dt_entropy [N] (entropy units
-    per dloga), max_signal_vel [N], pressure [N].
-    """
+@partial(jax.jit, static_argnames=("par", "group_cap", "nleaf_cap",
+                                   "sr_cap", "ll", "src_cap",
+                                   "boxsize"))
+def _hydro_all(ipos, mass, valid_gas, hsml, velpred, entvarpred,
+               density, egy_wt_density, div_vel, curl_vel,
+               dhsml_egy_factor, atime, hubble, dloga,
+               par: HydroParams, boxsize, group_cap, nleaf_cap,
+               sr_cap, ll, src_cap):
+    """Whole hydro-force loop as one graph (sort, tree, symmetric
+    neighbor search with node hmax, packed pair reduction)."""
     n = ipos.shape[0]
     keys = morton_key(ipos)
     keys = jnp.where(valid_gas, keys, ~jnp.uint64(0))
@@ -155,7 +158,6 @@ def hydro_force(ipos, mass, valid_gas, hsml, velpred, entvarpred,
     cap = 2 * n + 64
     tree = build_tree(keys[perm], ipos_s, mass[perm], valid_s, 16, 18,
                       cap, group_max=par.group_max)
-    group_cap = min((8 * n) // par.group_max + 64, n + 64)
     leaf_nodes, gc, gh, _, ngr, govf = make_target_groups(
         tree, pos_box, jnp.full(n, jnp.inf, jnp.float32), group_cap,
         par.group_max)
@@ -194,6 +196,9 @@ def hydro_force(ipos, mass, valid_gas, hsml, velpred, entvarpred,
         "curlvel": s(curl_vel), "entvarpred": s(entvarpred),
         "dhsml": s(dhsml_egy_factor),
     }
+    cols, spec = pairs.flatten_source_feats(source_feats)
+    packed = pairs.pack_sources(tree, pos_box, valid_s, cols,
+                                nleaf_cap, sr_cap, par.sub)
 
     inv_box = 1.0 / boxsize
     G = par.group_max
@@ -207,19 +212,16 @@ def hydro_force(ipos, mass, valid_gas, hsml, velpred, entvarpred,
     hsml_box = s(hsml) * jnp.float32(inv_box)
     gradius = jnp.max(jnp.where(tm, hsml_box[tidx], 0.0), axis=1)
 
-    nbr, _ = pairs.find_neighbors_auto(
-        tree, leaf_nodes, gc, gh, gradius, hmax,
-        par.leaf_list_max, symmetric=True,
-        cache_key=("hydra", n, par.group_max
-                   if hasattr(par, "group_max") else 32))
+    nbr = pairs.find_neighbors(tree, leaf_nodes, gc, gh, gradius, hmax,
+                               ll, symmetric=True)
 
     pair_fn = _hydro_pair_fn(par, boxsize, fac_mu, fac_vsic_fix,
                              hubble_a2, dloga)
     reducers = {"accx": "sum", "accy": "sum", "accz": "sum",
                 "dtent": "sum", "maxsig": "max"}
-    out = pairs.pair_reduce(pair_fn, nbr, tree, pos_box, target_feats,
-                            source_feats, reducers, G,
-                            par.leaf_eval_max)
+    out, povf = pairs.pair_reduce_packed(
+        pair_fn, nbr, tree, packed, pos_box, target_feats, spec,
+        reducers, G, src_cap, par.sub)
 
     accel = jnp.stack([out["accx"], out["accy"], out["accz"]],
                       axis=-1)[inv]
@@ -230,5 +232,51 @@ def hydro_force(ipos, mass, valid_gas, hsml, velpred, entvarpred,
     maxsig = jnp.where(jnp.isfinite(maxsig), maxsig, 0.0)
     accel = jnp.where(valid_gas[:, None], accel, 0.0)
     dtent = jnp.where(valid_gas, dtent, 0.0)
-    return {"hydro_accel": accel, "dt_entropy": dtent,
-            "max_signal_vel": maxsig, "pressure": pressure}
+    result = {"hydro_accel": accel, "dt_entropy": dtent,
+              "max_signal_vel": maxsig, "pressure": pressure}
+    flags = {"group": govf, "pack": packed.overflow,
+             "pair": jnp.any(povf)}
+    return result, flags
+
+
+_CAP_CACHE = {}
+
+
+def hydro_force(ipos, mass, valid_gas, hsml, velpred, entvarpred,
+                density, egy_wt_density, div_vel, curl_vel,
+                dhsml_egy_factor, par: HydroParams, boxsize, atime,
+                hubble, dloga):
+    """Hydro accelerations + DtEntropy + MaxSignalVel for gas particles.
+
+    All inputs in internal units, input particle order.  Returns dict in
+    the input order: hydro_accel [N,3], dt_entropy [N] (entropy units
+    per dloga), max_signal_vel [N], pressure [N].
+    """
+    n = ipos.shape[0]
+    group_cap = min((8 * n) // par.group_max + 64, n + 64)
+    key = ("hydra", n, par.group_max, par.kernel_type)
+    caps = _CAP_CACHE.setdefault(
+        key, {"ll": par.leaf_list_max, "src": par.src_cap,
+              "nleaf": n // 2 + 64,
+              "sr": n // par.sub + n // 2 + 128})
+    caps["ll"] = max(caps["ll"], par.leaf_list_max)
+    caps["src"] = max(caps["src"], par.src_cap)
+    for _ in range(6):
+        result, flags = _hydro_all(
+            ipos, mass, valid_gas, hsml, velpred, entvarpred, density,
+            egy_wt_density, div_vel, curl_vel, dhsml_egy_factor,
+            jnp.float32(atime), jnp.float32(hubble),
+            jnp.float32(dloga), par, float(boxsize), group_cap,
+            caps["nleaf"], caps["sr"], caps["ll"], caps["src"])
+        if bool(flags["group"]):
+            raise RuntimeError("hydro group capacity exceeded")
+        if bool(flags["pack"]):
+            caps["nleaf"] = min(2 * caps["nleaf"], 2 * n + 64)
+            caps["sr"] = min(2 * caps["sr"], 3 * n + 128)
+            continue
+        if bool(flags["pair"]):
+            caps["ll"] *= 2
+            caps["src"] *= 2
+            continue
+        return result
+    raise RuntimeError("hydro_force: capacity retries exhausted")

@@ -264,3 +264,180 @@ def test_simulation_run_sharded(mesh8, tmp_path):
     assert np.all(np.abs(p) / scale < 0.05), (p, scale)
     # structure grew: particles moved
     assert np.std(vel[valid]) > 0
+
+
+def test_multi_hop_ghosts_cover_wide_strips(mesh8):
+    """ghost_strips_multi with K hops collects neighbors farther than
+    one slab away (lifts the round-2 single-hop constraint,
+    treewalk.c:325 exports reach any rank)."""
+    from mpgadget_tpu.parallel.decomp import (ghost_strips_multi,
+                                              geometric_boundaries)
+    n_loc = 64
+    n = n_loc * NDEV
+    rng = np.random.RandomState(5)
+    x = np.concatenate([
+        ((s + rng.rand(n_loc)) / NDEV * 2 ** 32).astype(np.uint32)
+        for s in range(NDEV)])
+    ipos = np.stack([x, rng.randint(0, 2 ** 32, n).astype(np.uint32),
+                     rng.randint(0, 2 ** 32, n).astype(np.uint32)],
+                    axis=1)
+    ids = np.arange(n, dtype=np.int32)
+    valid = np.ones(n, bool)
+    width = 0.3            # strip spans >2 slabs (slab width = 0.125)
+    hops = 3
+
+    def run(ipos, ids, valid):
+        bounds = geometric_boundaries(3)
+        (g_ids,), g_valid, ovf = ghost_strips_multi(
+            (ids,), ipos, valid, "x", bounds, width,
+            ghost_cap=3 * n_loc, hops=hops)
+        return g_ids, g_valid, jax.lax.psum(ovf.astype(jnp.int32), "x")
+
+    run_s = jax.jit(shard_map(
+        run, mesh=mesh8, in_specs=(P("x"), P("x"), P("x")),
+        out_specs=(P("x"), P("x"), P())))
+    g_ids, g_valid, ovf = run_s(jnp.asarray(ipos), jnp.asarray(ids),
+                                jnp.asarray(valid))
+    assert not bool(np.any(np.asarray(ovf)))
+    g_ids = np.asarray(g_ids).reshape(NDEV, -1)
+    g_valid = np.asarray(g_valid).reshape(NDEV, -1)
+    xf = x.astype(np.float64) / 2 ** 32
+    for s in range(NDEV):
+        lo, hi = s / NDEV, (s + 1) / NDEV
+        dl = np.minimum(np.abs(xf - lo), 1 - np.abs(xf - lo))
+        dh = np.minimum(np.abs(xf - hi), 1 - np.abs(xf - hi))
+        inside = (xf >= lo) & (xf < hi)
+        want = set(ids[~inside & ((dl < width) | (dh < width))])
+        got = set(g_ids[s][g_valid[s]])
+        assert got == want, f"shard {s}: missing {want - got}, " \
+            f"extra {got - want}"
+
+
+@pytest.fixture(scope="module")
+def sph_box():
+    """Particles pre-placed on their owning slab, SPH-ready."""
+    from mpgadget_tpu.sph.density import sph_density, DensityParams
+    n_local = 256
+    n = n_local * NDEV
+    rng = np.random.RandomState(6)
+    x = np.concatenate([
+        ((s + rng.rand(n_local)) / NDEV * 2 ** 32).astype(np.uint32)
+        for s in range(NDEV)])
+    ipos = np.stack([x, rng.randint(0, 2 ** 32, n).astype(np.uint32),
+                     rng.randint(0, 2 ** 32, n).astype(np.uint32)],
+                    axis=1)
+    boxsize = 1000.0
+    mean_sep = boxsize / round(n ** (1 / 3))
+    par = DensityParams(kernel_type=1, max_iter=30)   # cubic
+    d = dict(
+        ipos=jnp.asarray(ipos), mass=jnp.ones(n, jnp.float32),
+        valid=jnp.ones(n, bool),
+        hsml0=jnp.full(n, 2.0 * mean_sep, jnp.float32),
+        vel=jnp.asarray(rng.randn(n, 3).astype(np.float32) * 10.0),
+        entvar=jnp.ones(n, jnp.float32), boxsize=boxsize, par=par,
+        n_local=n_local)
+    d["single"] = sph_density(d["ipos"], d["mass"], d["valid"],
+                              d["hsml0"], d["vel"], d["vel"],
+                              d["entvar"], par, boxsize)
+    return d
+
+
+def test_sharded_sph_density_matches_single(mesh8, sph_box):
+    """Sharded density (hmax ghost strips + per-shard fused solve) ==
+    single-device sph_density (density.c:235 at scale)."""
+    from mpgadget_tpu.parallel.sph import (sharded_sph_density,
+                                           density_caps)
+    b = sph_box
+    n_local = b["n_local"]
+    hops = 4
+    ghost_cap = 2 * n_local
+    n_strips = 2 * hops - 1          # 2*hops == NDEV: k=4 single sign
+    n_rows = n_local + n_strips * ghost_cap
+    caps = density_caps(n_rows, b["par"])
+    args = shard_particles((b["ipos"], b["vel"], b["mass"], b["valid"],
+                            b["hsml0"], b["entvar"]), mesh8, axis="x")
+    hsml = args[4]
+    for _ in range(6):
+        fn = sharded_sph_density(
+            mesh8, n_local=n_local, ghost_cap=ghost_cap, par=b["par"],
+            boxsize=b["boxsize"], log2s=3, caps=dict(caps), hops=hops)
+        out, flags = fn(args[0], args[1], args[2], args[3], hsml,
+                        args[5])
+        bad = {k: int(v) for k, v in flags.items() if int(v)}
+        if not bad:
+            break
+        if "pair" in bad:            # capacity retry (driver protocol)
+            caps["ll"] *= 2
+            caps["src"] *= 2
+        if "pack" in bad:
+            caps["nleaf"] *= 2
+            caps["sr"] *= 2
+        assert "group" not in bad and "ghost" not in bad, bad
+        if set(bad) == {"strip"}:
+            hsml = out["hsml"]       # strips too narrow: re-run wider
+    else:
+        raise AssertionError("capacity/strip retries exhausted")
+    ref = b["single"]
+    for k in ("hsml", "density", "egy_wt_density", "div_vel",
+              "curl_vel", "dhsml_density_factor"):
+        a = np.asarray(out[k])
+        r = np.asarray(ref[k])
+        scale = np.abs(r).max() + 1e-20
+        np.testing.assert_allclose(a, r, rtol=5e-3,
+                                   atol=2e-5 * scale, err_msg=k)
+
+
+def test_sharded_hydro_matches_single(mesh8, sph_box):
+    """Sharded hydro force == single-device hydro_force
+    (hydra.c:154 at scale)."""
+    from mpgadget_tpu.sph.hydra import hydro_force, HydroParams
+    from mpgadget_tpu.parallel.sph import sharded_hydro, density_caps
+    b = sph_box
+    ref_d = b["single"]
+    hp = HydroParams(kernel_type=1)
+    atime, hubble, dloga = 1.0, 0.1, 0.01
+    ref = hydro_force(
+        b["ipos"], b["mass"], b["valid"], ref_d["hsml"], b["vel"],
+        b["entvar"], ref_d["density"], ref_d["egy_wt_density"],
+        ref_d["div_vel"], ref_d["curl_vel"], ref_d["dhsml_egy_factor"],
+        hp, b["boxsize"], atime, hubble, dloga)
+
+    n_local = b["n_local"]
+    hops = 4
+    ghost_cap = 2 * n_local
+    n_rows = n_local + (2 * hops - 1) * ghost_cap
+    caps = density_caps(n_rows, hp)
+    args = shard_particles(
+        (b["ipos"], b["vel"], b["mass"], b["valid"], ref_d["hsml"],
+         b["entvar"], ref_d["density"], ref_d["egy_wt_density"],
+         ref_d["div_vel"], ref_d["curl_vel"],
+         ref_d["dhsml_egy_factor"]), mesh8, axis="x")
+    for _ in range(6):
+        fn = sharded_hydro(mesh8, n_local=n_local, ghost_cap=ghost_cap,
+                           par=hp, boxsize=b["boxsize"], log2s=3,
+                           caps=dict(caps), hops=hops)
+        out, flags = fn(*args, jnp.float32(atime), jnp.float32(hubble),
+                        jnp.float32(dloga))
+        bad = {k: int(v) for k, v in flags.items() if int(v)}
+        if not bad:
+            break
+        if "pair" in bad:
+            caps["ll"] *= 2
+            caps["src"] *= 2
+        if "pack" in bad:
+            caps["nleaf"] *= 2
+            caps["sr"] *= 2
+        assert "group" not in bad and "ghost" not in bad, bad
+    else:
+        raise AssertionError("capacity retries exhausted")
+    acc = np.asarray(out["hydro_accel"])
+    acc_r = np.asarray(ref["hydro_accel"])
+    scale = np.abs(acc_r).max() + 1e-20
+    np.testing.assert_allclose(acc, acc_r, rtol=5e-3,
+                               atol=2e-5 * scale)
+    np.testing.assert_allclose(np.asarray(out["dt_entropy"]),
+                               np.asarray(ref["dt_entropy"]),
+                               rtol=5e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["max_signal_vel"]),
+                               np.asarray(ref["max_signal_vel"]),
+                               rtol=5e-3, atol=1e-5)
