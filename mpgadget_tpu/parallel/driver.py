@@ -106,7 +106,8 @@ def _entropy_update(entropy, dtent, dloga, density, min_egy_spec,
 def build_sharded_step(mesh, *, n_local, with_gas, hops_ghost, hops_pm,
                        bucket_cap, ghost_cap, tree_kwargs, dpar, hpar,
                        caps_d, caps_h, nmesh, boxsize, gconst, asmth,
-                       rcut, min_egy_spec, hist_bits=12):
+                       rcut, min_egy_spec, strip_margin=1.6,
+                       hist_bits=12):
     """Build the jitted production step.
 
     step(state, bounds, scal) -> (state', stats, flags) where
@@ -173,7 +174,7 @@ def build_sharded_step(mesh, *, n_local, with_gas, hops_ghost, hops_pm,
             hs_box = st["hsml"] * jnp.float32(inv_box)
             hmax = lax.pmax(jnp.max(jnp.where(gas, hs_box, 0.0)), "x")
             w1 = jnp.maximum(jnp.float32(rcut_box),
-                             hmax * jnp.float32(1.6))
+                             hmax * jnp.float32(strip_margin))
             payload = (st["ipos"], st["mass"], st["vel"], st["hsml"],
                        entvar, gas)
         else:
@@ -210,9 +211,11 @@ def build_sharded_step(mesh, *, n_local, with_gas, hops_ghost, hops_pm,
         st["amag"] = jnp.sqrt(jnp.sum(grav_acc * grav_acc, axis=-1))
         st["grav_acc"] = grav_acc
 
-        flags = (x_ovf.astype(jnp.int32) + 2 * g_ovf.astype(jnp.int32)
-                 + 4 * res.overflow.astype(jnp.int32)
-                 + 64 * pm_far.astype(jnp.int32))
+        # per-flag shard counts (psum-safe, unlike a bitmask)
+        dens_bad = jnp.bool_(False)
+        hydro_bad = jnp.bool_(False)
+        strip_bad = jnp.bool_(False)
+        g2_bad = jnp.bool_(False)
 
         # ---- SPH density + hydro ----
         if with_gas:
@@ -229,6 +232,7 @@ def build_sharded_step(mesh, *, n_local, with_gas, hops_ghost, hops_pm,
             hsml_n = jnp.where(gas, dres["hsml"][:n_local], st["hsml"])
             strip_bad = jnp.any(
                 gas & (hsml_n * jnp.float32(inv_box * 1.26) > w1))
+            # (collected into the flag vector below)
             st["hsml"] = hsml_n
             st["density"] = jnp.where(gas, dres["density"][:n_local],
                                       st["density"])
@@ -239,10 +243,9 @@ def build_sharded_step(mesh, *, n_local, with_gas, hops_ghost, hops_pm,
             st["dhsml_egy"] = dres["dhsml_egy_factor"][:n_local]
             st["dt_hsml"] = jnp.where(gas, dres["dt_hsml"][:n_local],
                                       st["dt_hsml"])
-            flags = flags + 8 * jnp.any(
-                jnp.stack([dflags["group"], dflags["pack"],
-                           dflags["pair"]])).astype(jnp.int32) \
-                + 32 * strip_bad.astype(jnp.int32)
+            dens_bad = jnp.any(jnp.stack([dflags["group"],
+                                          dflags["pack"],
+                                          dflags["pair"]]))
 
             # ghost strips #2: refresh gas source fields post-density
             hs_box = st["hsml"] * jnp.float32(inv_box)
@@ -274,10 +277,10 @@ def build_sharded_step(mesh, *, n_local, with_gas, hops_ghost, hops_pm,
                                     0.0)
             st["maxsig"] = jnp.where(
                 gas, hres["max_signal_vel"][:n_local], 0.0)
-            flags = flags + 16 * jnp.any(
-                jnp.stack([hflags["group"], hflags["pack"],
-                           hflags["pair"]])).astype(jnp.int32) \
-                + 2 * g2_ovf.astype(jnp.int32)
+            hydro_bad = jnp.any(jnp.stack([hflags["group"],
+                                           hflags["pack"],
+                                           hflags["pair"]]))
+            g2_bad = g2_ovf
 
         # ---- closing half kick with fresh forces ----
         vel = st["vel"] + st["grav_acc"] * scal["dk2"]
@@ -309,7 +312,10 @@ def build_sharded_step(mesh, *, n_local, with_gas, hops_ghost, hops_pm,
             h_over_sig = jnp.full(1, jnp.inf, jnp.float32)
             h_over_dth = jnp.full(1, jnp.inf, jnp.float32)
         hist = count_histogram(st["ipos"], valid, "x", hist_bits)
+        hmax_st = (lax.pmax(jnp.max(jnp.where(gas, st["hsml"], 0.0)),
+                            "x") if with_gas else jnp.float32(0.0))
         stats = {
+            "hmax": hmax_st,
             "vsum": lax.psum(vsum, "x"),
             "count": lax.psum(cnt, "x"),
             "min_mass": lax.pmin(mmin, "x"),
@@ -319,7 +325,10 @@ def build_sharded_step(mesh, *, n_local, with_gas, hops_ghost, hops_pm,
             "hist": hist,
             "n_valid": lax.psum(jnp.sum(valid.astype(jnp.int32)), "x"),
         }
-        return st, stats, lax.psum(flags, "x")
+        flags_vec = jnp.stack([
+            x_ovf, g_ovf | g2_bad, res.overflow, dens_bad, hydro_bad,
+            strip_bad, pm_far]).astype(jnp.int32)
+        return st, stats, lax.psum(flags_vec, "x")
 
     state_keys = ["ipos", "vel", "mass", "valid", "pid", "ptype",
                   "amag", "grav_acc"]
@@ -331,7 +340,7 @@ def build_sharded_step(mesh, *, n_local, with_gas, hops_ghost, hops_pm,
     stats_spec = {k: P() for k in
                   ("vsum", "count", "min_mass", "max_acc",
                    "min_h_over_sig", "min_h_over_dth", "hist",
-                   "n_valid")}
+                   "n_valid", "hmax")}
     scal_spec = {k: P() for k in
                  ("dk1", "hk1", "dloga1", "ddrift", "dk2", "hk2",
                   "dloga2", "dloga_full", "atime", "hubble")}

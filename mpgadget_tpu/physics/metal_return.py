@@ -39,6 +39,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utils import constants as C
+from . import yield_tables as yt
 
 NMETALS = 9
 SPECIES = ("H", "He", "C", "N", "O", "Ne", "Mg", "Si", "Fe")
@@ -127,34 +128,29 @@ def remnant_mass(m):
     return jnp.where(m < SNII_MIN, wd, ns)
 
 
-def produced_fractions(m):
+def produced_fractions(m, z_init=0.02):
     """Newly-synthesized mass per species (Msun) for a star of initial
-    mass m — smooth approximations (see module docstring).  Index 0
-    (H) is always zero; production is debited from the unprocessed
-    (mostly H) ejecta in the spread step."""
+    mass m and birth metallicity z_init, interpolated from the
+    published Kobayashi+06 SNII / Karakas 2010 AGB (mass, Z) grids
+    (physics/yield_tables.py; metal_tables.h analog built from the
+    papers, not transcribed).  Index 0 (H) is always zero; production
+    is debited from the unprocessed (mostly H) ejecta in the spread
+    step.
+
+    Stars above the SNII table (40 < m <= MAXMASS) are assumed to
+    collapse directly (yields clamped at the 40-Msun edge, as in the
+    reference's interpolation clamp)."""
+    zi = jnp.broadcast_to(jnp.asarray(z_init, jnp.float32), m.shape)
     e = jnp.maximum(m - remnant_mass(m), 0.0)
     agb = m < SNII_MIN
-    # AGB: He always, C from third dredge-up (peak ~3 Msun), N from
-    # hot-bottom burning (m > 4)
-    he_agb = 0.025 * e * jnp.exp(-0.5 * ((m - 3.0) / 2.5) ** 2)
-    c_agb = 0.009 * e * jnp.exp(-0.5 * ((m - 2.8) / 1.0) ** 2)
-    n_agb = 0.008 * e / (1.0 + jnp.exp(-(m - 4.5) * 3.0))
-    # SNII: alpha elements scale steeply with mass
-    dm = jnp.maximum(m - SNII_MIN, 0.0)
-    o_sn = 0.00325 * dm ** 2.3
-    c_sn = 0.085 + 0.0047 * dm
-    n_sn = 0.01 + 0.001 * m
-    ne_sn = 0.35 * o_sn
-    mg_sn = 0.08 * o_sn
-    si_sn = 0.08 + 0.12 * o_sn / (1.0 + 0.35 * o_sn)
-    fe_sn = jnp.full_like(m, 0.074)
-    he_sn = jnp.maximum(0.12 * m - 0.8, 0.0)
-    z = jnp.zeros_like(m)
-    agb_y = [z, he_agb, c_agb, n_agb, z, z, z, z, z]
-    sn_y = [z, he_sn, c_sn, n_sn, o_sn, ne_sn, mg_sn, si_sn, fe_sn]
-    out = [jnp.where(agb, a, s) for a, s in zip(agb_y, sn_y)]
+    agb_t = yt.agb_produced(m, zi)
+    sn_t = yt.snii_produced(m, zi)
+    zero = jnp.zeros_like(m)
+    out = [zero] + [jnp.where(agb, agb_t[k], sn_t[k])
+                    for k in ("He", "C", "N", "O", "Ne", "Mg", "Si",
+                              "Fe")]
     # never produce more than the ejecta
-    tot = sum(out[1:], z)
+    tot = sum(out[1:], zero)
     scale = jnp.where(tot > 0.9 * e, 0.9 * e / jnp.maximum(tot, 1e-30),
                       1.0)
     return [o * scale for o in out], e
@@ -204,7 +200,7 @@ def stellar_return(age0_myr, age1_myr, z, m_init, sn1a_n0):
     nodes = mid[..., None] + half[..., None] * GL_X      # (..., 16)
     w = half[..., None] * GL_W
     xi = imf_xi(nodes)
-    prod, ejecta = produced_fractions(nodes)
+    prod, ejecta = produced_fractions(nodes, z[..., None])
     mret = jnp.sum(w * xi * ejecta, axis=-1)
     gen = [jnp.sum(w * xi * p, axis=-1) for p in prod]
     # SN1a: all-ejecta events, no remnant debit from the gas mass side

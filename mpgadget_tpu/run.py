@@ -1177,92 +1177,328 @@ class Simulation:
                 self.apply_metal_return(dloga)
         return n_sub
 
-    def run_sharded(self, device_mesh, max_steps=None, verbose=True):
-        """Multi-device DM-only main loop: the full sharded TreePM KDK
-        step (slab exchange + ghosts + local trees + pencil-FFT PM,
-        parallel/treepm.py) driven by the same integer timeline and
-        exact kick/drift factors as the single-device loop.
+    def run_sharded(self, device_mesh, max_steps=None, verbose=True,
+                    rebalance=True):
+        """Production multi-device main loop (run.c:358-800 at scale).
 
-        device_mesh: jax.sharding.Mesh over one axis named 'x'.  Gas /
-        star / BH physics is not yet sharded — this driver requires a
-        DM-only configuration (the reference's large-volume scaling
-        mode, domain.c:31)."""
-        from .parallel.treepm import sharded_treepm_step
+        Drives parallel/driver.build_sharded_step: the full gas+DM
+        TreePM KDK (tree + pencil-FFT PM + SPH density/hydro) over
+        count-balanced slab boundaries (domain.c:106 analog) with
+        K-hop ghost strips (treewalk.c exports), capacity-free
+        multi-hop PM, and psum'd timestep statistics — the host never
+        mirrors particle arrays except at sync-point outputs.  Buffer
+        overflows rebuild the step with doubled capacities and retry
+        the SAME step inputs (the single-chip treewalk retry policy at
+        scale).  Boundaries are recomputed from the returned x
+        histogram every step.
+
+        Not yet sharded: SFR/BH/winds/metal-return source terms (the
+        radiative layer); use the single-device loop for those
+        configs."""
+        from .parallel.driver import build_sharded_step
+        from .parallel.decomp import balanced_boundaries
         from .parallel.mesh import shard_particles
-        if self.has_gas:
-            raise ValueError("run_sharded supports DM-only runs; "
-                             "gas physics is not sharded yet")
-        S = int(device_mesh.devices.size)
-        n = self.pdata.capacity
-        # double the per-shard capacity: exchange needs headroom for
-        # particle-count imbalance between slabs (slots reserve analog)
-        n_local = int(np.ceil(2.0 * n / S / 128)) * 128
-        n_pad = n_local * S
-        if self._tree_grav is None:
+        from .timeline import round_down_power_of_two
+        from .utils.constants import GAMMA
+
+        with_gas = bool(self.has_gas and self.cfg.hydro_on)
+        if with_gas and not self._gas_initialized:
+            if getattr(self, "_gas_restore", None):
+                self._restore_gas()
+            else:
+                self.setup_gas()
+        if with_gas:
+            self.compute_hydro(dloga=0.0)
+        if self._tree_grav is None or self.pdata.grav_accel is None:
             self.compute_forces(measure_power=False)
         tg = self._tree_grav
-        # size the tree for exactly the rows the sharded step walks:
-        # n_local locals + 2 ghost strips of ghost_cap each (must match
-        # sharded_treepm_step's ghost_frac sizing)
-        ghost_frac = 0.5
-        ghost_cap = max(256, int(n_local * ghost_frac))
-        tree_kwargs = tg.force_kwargs(n_local + 2 * ghost_cap)
-        tree_kwargs["with_potential"] = False
-        step = sharded_treepm_step(
-            device_mesh, nmesh=self.cfg.nmesh, boxsize=self.cfg.boxsize,
-            gconst=self.CP.GravInternal, asmth=self.cfg.asmth,
-            rcut=self.cfg.rcut,
-            softening=tg.softening, err_tol_force_acc=tg.err_tol_force_acc,
-            n_local=n_local, ghost_frac=ghost_frac,
-            tree_kwargs=tree_kwargs)
-        acc = self.pdata.grav_accel + self.pdata.grav_pm
-        amag = jnp.sqrt(jnp.sum(acc * acc, axis=-1))
+        os.makedirs(self.cfg.output_dir, exist_ok=True)
+
+        S = int(device_mesh.devices.size)
+        log2s = int(np.log2(S))
+        assert 1 << log2s == S, "shard count must be a power of two"
+        n = self.pdata.capacity
+        n_local = int(np.ceil(2.0 * n / S / 256)) * 256
+        n_pad = n_local * S
 
         def pad(a, fill=0):
             return jnp.concatenate(
                 [a, jnp.full((n_pad - n,) + a.shape[1:], fill,
                              a.dtype)], axis=0)
 
-        ipos, vel, mass, valid, amag, pid = shard_particles(
-            (pad(self.pdata.ipos), pad(self.pdata.vel),
-             pad(self.pdata.mass), pad(self.pdata.valid, False),
-             pad(amag), pad(self.pdata.pid)), device_mesh, axis="x")
+        acc0 = self.pdata.grav_accel + self.pdata.grav_pm
+        state = {
+            "ipos": pad(self.pdata.ipos), "vel": pad(self.pdata.vel),
+            "mass": pad(self.pdata.mass),
+            "valid": pad(self.pdata.valid, False),
+            "pid": pad(self.pdata.pid),
+            "ptype": pad(self.pdata.ptype),
+            "amag": pad(jnp.sqrt(jnp.sum(acc0 * acc0, axis=-1))),
+            "grav_acc": pad(acc0),
+        }
+        if with_gas:
+            state.update(
+                gas_mask=pad(self.gas_mask, False),
+                hsml=pad(self.pdata.hsml),
+                entropy=pad(self.sph.entropy),
+                dtent=pad(self.sph.dt_entropy),
+                density=pad(self.sph.density),
+                egywt=pad(self.sph.egy_wt_density),
+                divv=pad(self.sph.div_vel),
+                curlv=pad(self.sph.curl_vel),
+                dhsml_egy=pad(self.sph.dhsml_egy_factor),
+                dt_hsml=pad(self.pdata.dt_hsml),
+                hydro_acc=pad(self.sph.hydro_accel),
+                maxsig=pad(self.sph.max_signal_vel))
+        state = shard_particles(state, device_mesh, axis="x")
+
+        rcut_box = self.cfg.rcut * self.cfg.asmth / self.cfg.nmesh
+        hist_bits = 12
+        bounds_np = (np.arange(S, dtype=np.uint64)
+                     * (2 ** 32 // S)).astype(np.uint32)
+        hmax_box = (float(jnp.max(jnp.where(
+            self.gas_mask, self.pdata.hsml, 0.0))) / self.cfg.boxsize
+            if with_gas else 0.0)
+        bp = {"ghost_cap": max(256, n_local // 2),
+              "bucket_cap": max(256, n_local // 4),
+              "ll": 256, "src": 2048, "strip_margin": 1.6,
+              "tree_boost": 1, "pm_extra": 0}
+
+        def hops_for(bounds, width):
+            b = np.asarray(bounds, np.float64) / 2 ** 32
+            widths = np.diff(np.append(b, 1.0))
+            K = 1
+            for s in range(S):
+                left = right = 0.0
+                k = 0
+                while (left < width or right < width) and k < S // 2:
+                    k += 1
+                    left += widths[(s - k) % S]
+                    right += widths[(s + k) % S]
+                K = max(K, k)
+            return int(min(max(K, 1), max(S // 2, 1)))
+
+        def pm_hops_for(bounds):
+            b = np.asarray(bounds, np.float64) / 2 ** 32
+            ivals = np.append(b, 1.0)
+            K = 0
+            for s in range(S):
+                lo_slab = int(ivals[s] * S)
+                hi_slab = min(int(np.nextafter(ivals[s + 1], 0) * S),
+                              S - 1)
+                for g in (lo_slab, hi_slab):
+                    d = abs(g - s)
+                    K = max(K, min(d, S - d))
+            return int(min(K + bp["pm_extra"], S // 2))
+
+        steps_cache = {}
+
+        def get_step(bounds):
+            w1 = max(rcut_box, hmax_box * bp["strip_margin"])
+            hops_g = hops_for(bounds, w1)
+            hops_pm = pm_hops_for(bounds)
+            n_strips = 2 * hops_g - (1 if (2 * hops_g) % S == 0 else 0)
+            n_rows = n_local + n_strips * bp["ghost_cap"]
+            key = (hops_g, hops_pm, bp["ghost_cap"], bp["bucket_cap"],
+                   bp["ll"], bp["src"], round(bp["strip_margin"], 3),
+                   bp["tree_boost"])
+            if key not in steps_cache:
+                tree_kwargs = tg.force_kwargs(n_rows * bp["tree_boost"])
+                tree_kwargs["with_potential"] = False
+                dpar = self._density_params()
+                from .sph.hydra import HydroParams
+                hpar = HydroParams(
+                    kernel_type=self.cfg.density_kernel_type,
+                    art_bulk_visc=self.cfg.art_bulk_visc,
+                    density_independent=self.cfg.density_independent_sph,
+                    density_contrast_limit=self.cfg
+                    .density_contrast_limit)
+                caps = {"group": min((8 * n_rows) // dpar.group_max
+                                     + 64, n_rows + 64),
+                        "nleaf": n_rows // 2 + 64,
+                        "sr": n_rows // 8 + n_rows // 2 + 128,
+                        "ll": bp["ll"], "src": bp["src"]}
+                steps_cache[key] = build_sharded_step(
+                    device_mesh, n_local=n_local, with_gas=with_gas,
+                    hops_ghost=hops_g, hops_pm=hops_pm,
+                    bucket_cap=bp["bucket_cap"],
+                    ghost_cap=bp["ghost_cap"],
+                    tree_kwargs=tree_kwargs, dpar=dpar, hpar=hpar,
+                    caps_d=caps, caps_h=dict(caps),
+                    nmesh=self.cfg.nmesh, boxsize=self.cfg.boxsize,
+                    gconst=self.CP.GravInternal,
+                    asmth=self.cfg.asmth, rcut=self.cfg.rcut,
+                    min_egy_spec=float(getattr(self, "_min_egy_spec",
+                                               0.0)),
+                    strip_margin=bp["strip_margin"],
+                    hist_bits=hist_bits)[0]
+            return steps_cache[key]
+
+        def dloga_from_stats(stats, atime):
+            """The host timestep policy from psum'd statistics
+            (get_long_range_timestep_dloga + accel + Courant,
+            timestep.c:1063-1300)."""
+            par = self.cfg.timestep
+            hubble = self.CP.hubble_function(atime)
+            dloga = par.MaxSizeTimestep
+            asmth_len = (self.cfg.asmth * self.cfg.boxsize
+                         / self.cfg.nmesh)
+            vsum = np.asarray(stats["vsum"], np.float64)
+            cnt = np.asarray(stats["count"], np.float64)
+            mmin = np.asarray(stats["min_mass"], np.float64)
+            for t in range(6):
+                if cnt[t] == 0 or self._omega_per_type is None:
+                    continue
+                omega = self._omega_per_type[t]
+                if omega <= 0:
+                    continue
+                dmean = (mmin[t] / (omega * self.CP.RhoCrit)) ** (1 / 3)
+                vrms = np.sqrt(vsum[t] / cnt[t])
+                if vrms <= 0:
+                    continue
+                d1 = (par.MaxRMSDisplacementFac * hubble * atime
+                      * atime * min(asmth_len, dmean) / vrms)
+                if t != self.cfg.fast_particle_type:
+                    dloga = min(dloga, d1)
+            amax = float(stats["max_acc"])
+            if amax > 0 and self.cfg.tree_grav_on:
+                eta_eps = (2 * par.ErrTolIntAccuracy * atime
+                           * tg.softening)
+                dloga = min(dloga, float(
+                    np.sqrt(eta_eps / (amax / atime ** 2)) * hubble))
+            if with_gas:
+                fac3 = atime ** (3 * (1 - GAMMA) / 2.0)
+                hos = float(stats["min_h_over_sig"])
+                if np.isfinite(hos):
+                    dloga = min(dloga, 2 * par.CourantFac * atime
+                                * hos / fac3 * hubble)
+                hod = float(stats["min_h_over_dth"])
+                if np.isfinite(hod):
+                    dloga = min(dloga, par.CourantFac * atime * atime
+                                * hod * hubble)
+            return max(dloga, par.MinSizeTimestep)
+
+        def mirror_to_host():
+            """Compact valid rows into the Simulation arrays (outputs
+            and final state only — not per step)."""
+            v = np.asarray(state["valid"])
+            order = np.argsort(~v, kind="stable")[:n]
+            oj = jnp.asarray(order)
+            upd = dict(
+                ipos=state["ipos"][oj], vel=state["vel"][oj],
+                mass=state["mass"][oj], valid=state["valid"][oj],
+                pid=state["pid"][oj], ptype=state["ptype"][oj],
+                grav_accel=state["grav_acc"][oj],
+                grav_pm=jnp.zeros_like(state["grav_acc"][oj]))
+            if with_gas:
+                upd["hsml"] = state["hsml"][oj]
+                upd["dt_hsml"] = state["dt_hsml"][oj]
+            self.pdata = self.pdata.replace(**upd)
+            if with_gas:
+                self.sph = self.sph.replace(
+                    entropy=state["entropy"][oj],
+                    dt_entropy=state["dtent"][oj],
+                    density=state["density"][oj],
+                    egy_wt_density=state["egywt"][oj],
+                    div_vel=state["divv"][oj],
+                    curl_vel=state["curlv"][oj],
+                    dhsml_egy_factor=state["dhsml_egy"][oj],
+                    hydro_accel=state["hydro_acc"][oj],
+                    max_signal_vel=state["maxsig"][oj])
+
         nsteps = 0
-
-        def sync_pdata():
-            # mirror sharded state into a full-capacity ParticleData
-            # for the host-side timestep policy / outputs (valid rows
-            # may sit anywhere after exchanges)
-            self.pdata = self.pdata.replace(
-                ipos=ipos[:n], vel=vel[:n], mass=mass[:n],
-                valid=valid[:n], pid=pid[:n])
-
+        stats = None
         while self.ti_current < self.timeline.ti_end:
-            sync_pdata()
-            dti = self.find_pm_timestep()
+            if stats is None:
+                dti = self.find_pm_timestep()
+                if with_gas:
+                    dloga_h = self.find_hydro_timestep_dloga()
+                    dti_h = round_down_power_of_two(
+                        self.timeline.dti_from_dloga(dloga_h,
+                                                     self.ti_current))
+                    dti = min(dti, max(dti_h, 1))
+            else:
+                dloga = dloga_from_stats(stats, self.atime)
+                dti = get_pm_timestep_ti(dloga, self.timeline,
+                                         self.ti_current,
+                                         self.ti_current)
+            if dti <= 0:
+                raise RuntimeError(f"bad sharded timestep {dti}")
+            dti = min(dti, self.timeline.ti_end - self.ti_current)
             t0, t1 = self.ti_current, self.ti_current + dti
-            dkick = self.tf.gravkick(t0, t1)
-            ddrift = self.tf.drift(t0, t1)
-            ipos, vel, mass, valid, amag, pid, ovf = step(
-                ipos, vel, mass, valid, amag, pid, jnp.float32(dkick),
-                jnp.float32(ddrift))
-            if int(ovf):
+            mid = t0 + dti // 2
+            loga = self.timeline.loga_from_ti
+            a1 = float(np.exp(loga(t1)))
+            scal = {
+                "dk1": jnp.float32(self.tf.gravkick(t0, mid)),
+                "hk1": jnp.float32(self.tf.hydrokick(t0, mid)),
+                "dloga1": jnp.float32(loga(mid) - loga(t0)),
+                "ddrift": jnp.float32(self.tf.drift(t0, t1)),
+                "dk2": jnp.float32(self.tf.gravkick(mid, t1)),
+                "hk2": jnp.float32(self.tf.hydrokick(mid, t1)),
+                "dloga2": jnp.float32(loga(t1) - loga(mid)),
+                "dloga_full": jnp.float32(loga(t1) - loga(t0)),
+                "atime": jnp.float32(a1),
+                "hubble": jnp.float32(self.CP.hubble_function(a1)),
+            }
+            bounds_dev = jnp.asarray(bounds_np)
+            for attempt in range(8):
+                step = get_step(bounds_np)
+                new_state, stats, flags = step(state, bounds_dev, scal)
+                # flags: per-flag shard counts [exchange, ghost, tree,
+                # density, hydro, strip, pm-hops]
+                fl = np.asarray(flags)
+                if not fl.any():
+                    break
+                if verbose:
+                    print(f"[sharded] overflow counts {fl.tolist()}; "
+                          "growing capacities and retrying")
+                if fl[0]:
+                    bp["bucket_cap"] = min(2 * bp["bucket_cap"],
+                                           n_local)
+                if fl[1]:
+                    bp["ghost_cap"] = min(2 * bp["ghost_cap"], n_local)
+                if fl[2]:
+                    bp["tree_boost"] *= 2
+                if fl[3] or fl[4]:
+                    bp["ll"] *= 2
+                    bp["src"] *= 2
+                if fl[5]:
+                    bp["strip_margin"] *= 1.5
+                    hm = float(stats["hmax"]) / self.cfg.boxsize
+                    hmax_box = max(hmax_box, hm)
+                if fl[6]:
+                    bp["pm_extra"] += 1
+            else:
                 raise RuntimeError(
-                    f"sharded step buffer overflow (mask {int(ovf)}: "
-                    "1=exchange 2=ghosts 4=tree); raise capacities")
+                    f"sharded step: capacity retries exhausted "
+                    f"(counts {fl.tolist()})")
+            state = new_state
             self.ti_current = t1
             nsteps += 1
+            hm = float(stats["hmax"]) / self.cfg.boxsize
+            if hm > 0:
+                hmax_box = hm
+            if rebalance:
+                bounds_np = balanced_boundaries(
+                    np.asarray(stats["hist"]), S)
+            sp = self.timeline.find_current_sync_point(self.ti_current)
+            if sp is not None and sp.write_snapshot:
+                mirror_to_host()
+                self.write_snapshot()
+                if sp.write_fof or (self.cfg.snapshot_with_fof
+                                    and sp.write_snapshot):
+                    cat = self.run_fof()
+                    if self.cfg.black_hole_on:
+                        self.seed_black_holes_from_fof(cat)
             if verbose:
-                print(f"[sharded step {nsteps}] a={self.atime:.5f}")
+                print(f"[sharded step {nsteps}] a={self.atime:.5f} "
+                      f"n={int(stats['n_valid'])}")
             if max_steps and nsteps >= max_steps:
                 break
-        # compact valid rows back into the Simulation's capacity
-        order = np.argsort(~np.asarray(valid), kind="stable")[:n]
-        oj = jnp.asarray(order)
-        self.pdata = self.pdata.replace(
-            ipos=ipos[oj], vel=vel[oj], mass=mass[oj],
-            valid=valid[oj], pid=pid[oj])
+        mirror_to_host()
         return nsteps
+
 
     def step(self, dti: int):
         """One global KDK step over dti integer ticks."""

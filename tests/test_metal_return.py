@@ -119,3 +119,43 @@ def test_metal_return_step_conserves_mass():
     zs = np.asarray(out["gas_metals"])[np.asarray(is_gas)]
     assert np.all(zs.sum(axis=1) < 1.01)
     assert np.any(zs[:, 4] > 0), "no oxygen enrichment"
+
+
+def test_imf_integrated_yields_match_published():
+    """IMF-integrated newly-produced O and Fe per Msun formed pin the
+    tabulated yields (yield_tables.py) against the published
+    Chabrier-IMF integrations of Kobayashi+06: O ~ 7e-3, Fe(CCSN)
+    ~ 6e-4 Msun per Msun formed at solar Z (within the table-coarseness
+    tolerance), and secondary N grows with birth metallicity."""
+    from mpgadget_tpu.physics.metal_return import stellar_return
+    # full population: ages 0.01 Myr .. 13.7 Gyr, no SN1a (CCSN only)
+    _, gen = stellar_return(1e-2, 13.7e3, 0.02, 1.0, 0.0)
+    gen = np.asarray(gen)
+    o_per_msun = gen[4]
+    fe_per_msun = gen[8]
+    assert 0.004 < o_per_msun < 0.013, o_per_msun
+    assert 3.0e-4 < fe_per_msun < 1.1e-3, fe_per_msun
+    # He production is a few percent of the formed mass
+    assert 0.01 < gen[1] < 0.08, gen[1]
+    # N has a secondary (SNII) component: higher birth Z -> more N.
+    # (AGB hot-bottom-burning N is primary and partly offsets this,
+    # so demand only a clear increase, not proportionality.)
+    _, gen_lowz = stellar_return(1e-2, 13.7e3, 1e-3, 1.0, 0.0)
+    assert gen[3] > 1.15 * float(np.asarray(gen_lowz)[3]), \
+        (gen[3], np.asarray(gen_lowz)[3])
+
+
+def test_yield_tables_interpolation_edges():
+    """Bilinear interpolation clamps at grid edges and hits node
+    values exactly on the nodes."""
+    from mpgadget_tpu.physics import yield_tables as yt
+    import jax.numpy as jnp
+    m = jnp.asarray([13.0, 40.0, 60.0])
+    out = yt.snii_produced(m, jnp.asarray([0.02, 0.02, 0.02]))
+    o = np.asarray(out["O"])
+    assert np.isclose(o[0], 0.20, rtol=1e-5)
+    assert np.isclose(o[1], 5.3, rtol=1e-5)
+    assert np.isclose(o[2], o[1])            # clamped beyond the grid
+    a = yt.agb_produced(jnp.asarray([3.0]), jnp.asarray([0.02]))
+    assert np.isclose(np.asarray(a["C"])[0], 0.038, rtol=1e-5)
+    assert np.all(np.asarray(a["Fe"]) == 0.0)

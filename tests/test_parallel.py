@@ -441,3 +441,56 @@ def test_sharded_hydro_matches_single(mesh8, sph_box):
     np.testing.assert_allclose(np.asarray(out["max_signal_vel"]),
                                np.asarray(ref["max_signal_vel"]),
                                rtol=5e-3, atol=1e-5)
+
+
+def test_run_sharded_gas_dm(mesh8, tmp_path):
+    """Production sharded driver runs a gas+DM box end-to-end: the full
+    TreePM + SPH density/hydro stack per step, balanced boundaries,
+    psum'd timestep policy (run.c:358-800 at scale)."""
+    from mpgadget_tpu.cosmology import Cosmology
+    from mpgadget_tpu.particles import ParticleData
+    from mpgadget_tpu.run import Simulation, SimConfig
+    from mpgadget_tpu.timeline import Timeline
+    from mpgadget_tpu.utils import get_unitsystem, constants as CC
+
+    UN = get_unitsystem(CC.CM_PER_KPC, 1.989e43, 1e5)
+    rng = np.random.RandomState(11)
+    box = 2000.0
+    ng = 8
+    n_dm = ng ** 3
+    n_gas = ng ** 3
+    # gas+DM interleaved lattices with small scatter
+    grid = (np.stack(np.meshgrid(*[np.arange(ng)] * 3),
+                     axis=-1).reshape(-1, 3) + 0.5) / ng * box
+    pos = np.concatenate([
+        grid + rng.uniform(-20, 20, (n_dm, 3)),
+        grid + 0.5 / ng * box * 0.5
+        + rng.uniform(-20, 20, (n_gas, 3))]) % box
+    ptype = np.concatenate([np.ones(n_dm, np.int32),
+                            np.zeros(n_gas, np.int32)])
+    mass = np.concatenate([np.full(n_dm, 5.0), np.full(n_gas, 1.0)])
+    pdata = ParticleData.from_numpy(
+        pos, np.zeros((len(pos), 3)), mass, ptype,
+        np.arange(len(pos)) + 1, box)
+    cp = Cosmology(Omega0=0.3, OmegaLambda=0.7, HubbleParam=0.7,
+                   OmegaBaryon=0.05, TimeBegin=0.1).init_units(UN)
+    timeline = Timeline([0.15], TimeIC=0.1, TimeMax=0.15)
+    cfg = SimConfig(boxsize=box, nmesh=16, output_dir=str(tmp_path),
+                    timeline=timeline, units=UN, hydro_on=True,
+                    tree_grav_on=True, asmth=1.0, rcut=1.0,
+                    density_kernel_type=1,
+                    random_particle_offset=0.0, cooling_on=False,
+                    starformation_on=False)
+    sim = Simulation(cp, pdata, cfg, time_ic=0.1)
+    nsteps = sim.run_sharded(mesh8, max_steps=2, verbose=False)
+    assert nsteps == 2
+    valid = np.asarray(sim.pdata.valid)
+    assert valid.sum() == len(pos), "particles lost across exchanges"
+    assert np.all(np.isfinite(np.asarray(sim.pdata.vel)))
+    gas = np.asarray(sim.gas_mask)
+    ent = np.asarray(sim.sph.entropy)
+    rho = np.asarray(sim.sph.density)
+    assert np.all(ent[gas & valid] > 0)
+    assert np.all(rho[gas & valid] > 0)
+    hs = np.asarray(sim.pdata.hsml)
+    assert np.all(hs[gas & valid] > 0)
