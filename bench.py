@@ -25,6 +25,76 @@ import numpy as np
 REFERENCE_NODE_RATE = 5.6e5  # particle-steps/sec on a 56-core CPU node
 
 
+def bench_gas():
+    """Gas-step particle rate: SPH density (fused in-jit hsml loop) +
+    hydro force + TreePM gravity at 64^3 gas (the lya-config geometry
+    on one chip).  Steady-state: hsml is converged, so the density
+    while_loop exits after ~2 iterations — the production per-step
+    cost, not the cold-start bisection."""
+    import os
+    import jax
+    import jax.numpy as jnp
+    from mpgadget_tpu.sph.density import sph_density, DensityParams
+    from mpgadget_tpu.sph.hydra import hydro_force, HydroParams
+    from mpgadget_tpu.gravity.treepm import TreeGravity, tree_force
+    from mpgadget_tpu.pm.gravity import _pm_force_kernel
+
+    ngrid = int(os.environ.get("BENCH_NGRID", 64))
+    nmesh = 2 * ngrid
+    boxsize = 50000.0 * ngrid / 64
+    n = ngrid ** 3
+    rng = np.random.RandomState(5)
+    grid = np.indices((ngrid, ngrid, ngrid)).reshape(3, -1).T
+    pos = np.mod((grid + rng.uniform(0, 0.3, (n, 3))) / ngrid
+                 * boxsize, boxsize)
+    ipos = jnp.asarray((pos / boxsize * 2.0 ** 32).astype(np.uint32))
+    mass = jnp.ones(n, jnp.float32)
+    valid = jnp.ones(n, bool)
+    vel = jnp.asarray(rng.randn(n, 3).astype(np.float32) * 10.0)
+    ones = jnp.ones(n, jnp.float32)
+    mean_sep = boxsize / ngrid
+    hsml = jnp.full(n, 2.0 * mean_sep, jnp.float32)
+    dpar = DensityParams(kernel_type=2)       # quintic, as lya config
+    hpar = HydroParams(kernel_type=2)
+    tg = TreeGravity(boxsize=boxsize, nmesh=nmesh, asmth=1.5, rcut=6,
+                     G=43007.1, softening=2.8 * boxsize / ngrid / 30,
+                     tree_use_bh=0, with_potential=False)
+    kw = tg.force_kwargs(n)
+
+    def gas_step(hsml):
+        out = sph_density(ipos, mass, valid, hsml, vel, vel, ones,
+                          dpar, boxsize)
+        res = hydro_force(ipos, mass, valid, out["hsml"], vel, ones,
+                          out["density"], out["egy_wt_density"],
+                          out["div_vel"], out["curl_vel"],
+                          out["dhsml_egy_factor"], hpar, boxsize,
+                          1.0, 0.1, 0.01)
+        tr = tree_force(ipos, mass, valid, jnp.zeros(n, jnp.float32),
+                        **kw)
+        acc_pm, _, _ = _pm_force_kernel(ipos, mass, nmesh, boxsize,
+                                        43007.1, 1.5,
+                                        compute_potential=False)
+        return out["hsml"], res["hydro_accel"], tr.accel + acc_pm
+
+    # cold: converge hsml + compile everything
+    hsml, ha, ga = gas_step(hsml)
+    float(jnp.sum(ha[0]))
+    nrep = 4
+    t0 = time.perf_counter()
+    for _ in range(nrep):
+        h2, ha, ga = gas_step(hsml)
+        float(jnp.sum(ha[0]))
+    dt = (time.perf_counter() - t0) / nrep
+    rate = n / dt
+    print(json.dumps({
+        "metric": f"gas step particle rate ({ngrid}^3 gas, "
+                  "density+hydro+TreePM, 1 chip)",
+        "value": rate,
+        "unit": "particle-steps/sec",
+        "vs_baseline": rate / REFERENCE_NODE_RATE,
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -117,4 +187,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import os
+    if os.environ.get("BENCH_GAS", "") == "1":
+        bench_gas()
+    else:
+        main()

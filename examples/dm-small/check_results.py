@@ -82,6 +82,24 @@ def check_power(outdir, spectrum, rtol_shape=0.1, rtol_growth=0.18):
     print(f"P(k) OK over {len(files)} outputs")
 
 
+def check_golden_pk(outdir, golden_file, rtol=5e-2):
+    """Per-bin golden P(k) regression for the reduced CI config
+    (deterministic seed 181170, Ngrid 24, Nmesh 48, a=0.15): the
+    un-gated analog of the reference CI's per-halo golden masses
+    (check_results.py:15-26) for a box too small to form halos."""
+    files = sorted(glob.glob(os.path.join(outdir,
+                                          "powerspectrum-*.txt")))
+    assert files, "no power spectra written"
+    got = np.loadtxt(files[-1])
+    want = np.loadtxt(golden_file)
+    assert got.shape[0] == want.shape[0], \
+        f"bin count changed: {got.shape} vs {want.shape}"
+    np.testing.assert_allclose(got[:, 0], want[:, 0], rtol=1e-3)
+    np.testing.assert_allclose(got[:, 1], want[:, 1], rtol=rtol,
+                               err_msg="golden P(k) regression")
+    print(f"golden P(k) OK ({got.shape[0]} bins, rtol {rtol})")
+
+
 def check_hmf(outdir):
     from mpgadget_tpu.io.bigfile import BigFile
     pigs = sorted(glob.glob(os.path.join(outdir, "PIG_*")))

@@ -191,10 +191,39 @@ def build_simulation(paramfile_or_ps, override=None, snapshot=None):
     return sim, ps
 
 
+def init_distributed():
+    """Multi-host readiness: initialize jax.distributed from the
+    standard environment (the reference's MPI_Init + cluster layout,
+    system.h:43-111 analog).
+
+    Activated by MPG_DISTRIBUTED=1 (with JAX_COORDINATOR_ADDRESS /
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID, or a TPU pod slice where
+    jax.distributed autodetects).  After this, jax.devices() spans all
+    hosts and `Simulation.run_sharded` drives the global mesh
+    unchanged — collectives ride ICI within a host group and DCN
+    across, chosen by XLA from the device order."""
+    import os
+    if os.environ.get("MPG_DISTRIBUTED", "") != "1":
+        return False
+    import jax
+    kwargs = {}
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        kwargs = dict(
+            coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ["JAX_PROCESS_ID"]))
+    jax.distributed.initialize(**kwargs)
+    print(f"[distributed] process {jax.process_index()} of "
+          f"{jax.process_count()}, {jax.local_device_count()} local / "
+          f"{jax.device_count()} global devices")
+    return True
+
+
 def main():
     if len(sys.argv) < 2:
         print(__doc__)
         sys.exit(1)
+    init_distributed()
     paramfile = sys.argv[1]
     restart = int(sys.argv[2]) if len(sys.argv) > 2 else 0
     snapnum = int(sys.argv[3]) if len(sys.argv) > 3 else None

@@ -18,6 +18,25 @@ import jax
 import jax.numpy as jnp
 
 
+def _cell_frac_col(x, nmesh: int):
+    """(cell i32[N], frac f32[N]) for ONE coordinate column.
+
+    1-D arrays only: on TPU a rank-2 (N, 3) intermediate is tiled to
+    (8, 128) lanes — a 42x padding blow-up that alone OOMs a 256^3
+    run; column-wise the kernel stays in compact 1-D layouts."""
+    if nmesh & (nmesh - 1) == 0:
+        shift = 32 - (int(nmesh).bit_length() - 1)
+        cell = (x >> jnp.uint32(shift)).astype(jnp.int32)
+        frac = (x & jnp.uint32((1 << shift) - 1)).astype(jnp.float32) \
+            * jnp.float32(1.0 / (1 << shift))
+    else:
+        scaled = x.astype(jnp.uint64) * jnp.uint64(nmesh)
+        cell = (scaled >> jnp.uint64(32)).astype(jnp.int32)
+        frac = (scaled & jnp.uint64(0xFFFFFFFF)).astype(jnp.float32) \
+            * jnp.float32(2.0 ** -32)
+    return cell, frac
+
+
 def cell_and_frac(ipos, nmesh: int):
     """Exact CIC corner cell index and fraction from uint32 positions.
 
@@ -25,40 +44,34 @@ def cell_and_frac(ipos, nmesh: int):
     Power-of-two meshes use a pure shift/mask; any other nmesh uses an
     exact 64-bit fixed-point multiply (cell = floor(x * nmesh)).
     """
-    if nmesh & (nmesh - 1) == 0:
-        shift = 32 - (int(nmesh).bit_length() - 1)
-        cell = (ipos >> jnp.uint32(shift)).astype(jnp.int32)
-        frac_bits = ipos & jnp.uint32((1 << shift) - 1)
-        frac = frac_bits.astype(jnp.float32) * jnp.float32(
-            1.0 / (1 << shift))
-    else:
-        scaled = ipos.astype(jnp.uint64) * jnp.uint64(nmesh)
-        cell = (scaled >> jnp.uint64(32)).astype(jnp.int32)
-        frac = (scaled & jnp.uint64(0xFFFFFFFF)).astype(jnp.float32) \
-            * jnp.float32(2.0 ** -32)
-    return cell, frac
+    cells, fracs = zip(*[_cell_frac_col(ipos[:, c], nmesh)
+                         for c in range(3)])
+    return jnp.stack(cells, axis=1), jnp.stack(fracs, axis=1)
 
 
 def _corner_indices_weights(ipos, nmesh: int):
-    """Yield (flat_index i32[N], weight f32[N]) for the 8 CIC corners."""
-    cell, frac = cell_and_frac(ipos, nmesh)
+    """Yield (flat_index i32[N], weight f32[N]) for the 8 CIC corners.
+
+    All intermediates are 1-D (see _cell_frac_col)."""
+    (cx, fx) = _cell_frac_col(ipos[:, 0], nmesh)
+    (cy, fy) = _cell_frac_col(ipos[:, 1], nmesh)
+    (cz, fz) = _cell_frac_col(ipos[:, 2], nmesh)
     # int32 flat indices overflow at nmesh >= 1291 (1291^3 > 2^31);
     # promote to int64 there (slower gathers, only hit by huge meshes)
     idt = jnp.int32 if nmesh < 1291 else jnp.int64
     n = idt(nmesh)
-    # (cell + d) % n via mask for power-of-two, else mod
     pow2 = nmesh & (nmesh - 1) == 0
     for dx in (0, 1):
-        wx = (1.0 - frac[:, 0]) if dx == 0 else frac[:, 0]
-        ix = cell[:, 0].astype(idt) + dx
+        wx = (1.0 - fx) if dx == 0 else fx
+        ix = cx.astype(idt) + dx
         ix = (ix & (n - 1)) if pow2 else (ix % n)
         for dy in (0, 1):
-            wy = (1.0 - frac[:, 1]) if dy == 0 else frac[:, 1]
-            iy = cell[:, 1].astype(idt) + dy
+            wy = (1.0 - fy) if dy == 0 else fy
+            iy = cy.astype(idt) + dy
             iy = (iy & (n - 1)) if pow2 else (iy % n)
             for dz in (0, 1):
-                wz = (1.0 - frac[:, 2]) if dz == 0 else frac[:, 2]
-                iz = cell[:, 2].astype(idt) + dz
+                wz = (1.0 - fz) if dz == 0 else fz
+                iz = cz.astype(idt) + dz
                 iz = (iz & (n - 1)) if pow2 else (iz % n)
                 yield (ix * n + iy) * n + iz, wx * wy * wz
 

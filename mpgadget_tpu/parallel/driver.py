@@ -107,7 +107,7 @@ def build_sharded_step(mesh, *, n_local, with_gas, hops_ghost, hops_pm,
                        bucket_cap, ghost_cap, tree_kwargs, dpar, hpar,
                        caps_d, caps_h, nmesh, boxsize, gconst, asmth,
                        rcut, min_egy_spec, strip_margin=1.6,
-                       hist_bits=12):
+                       hist_bits=12, cooling_fn=None):
     """Build the jitted production step.
 
     step(state, bounds, scal) -> (state', stats, flags) where
@@ -292,6 +292,15 @@ def build_sharded_step(mesh, *, n_local, with_gas, hops_ghost, hops_pm,
                 st["density"], min_egy_spec, scal["atime"], gas)
         st["vel"] = vel
 
+        # ---- Strang-split radiative cooling (cooling_direct path of
+        # cooling_and_starformation, sfr_eff.c:187) ----
+        if cooling_fn is not None:
+            ent_new, ne_new = cooling_fn(
+                st["ipos"], st["entropy"], st["density"], st["ne"],
+                st["metallicity"], gas, scal)
+            st["entropy"] = jnp.where(gas, ent_new, st["entropy"])
+            st["ne"] = jnp.where(gas, ne_new, st["ne"])
+
         # ---- psum'd timestep statistics ----
         v2 = jnp.sum(st["vel"] * st["vel"], axis=-1)
         w = valid.astype(jnp.float32)
@@ -336,14 +345,18 @@ def build_sharded_step(mesh, *, n_local, with_gas, hops_ghost, hops_pm,
         state_keys += ["gas_mask", "hsml", "entropy", "dtent",
                        "density", "egywt", "divv", "curlv",
                        "dhsml_egy", "dt_hsml", "hydro_acc", "maxsig"]
+    if cooling_fn is not None:
+        state_keys += ["ne", "metallicity"]
     in_state_spec = {k: P("x") for k in state_keys}
     stats_spec = {k: P() for k in
                   ("vsum", "count", "min_mass", "max_acc",
                    "min_h_over_sig", "min_h_over_dth", "hist",
                    "n_valid", "hmax")}
-    scal_spec = {k: P() for k in
-                 ("dk1", "hk1", "dloga1", "ddrift", "dk2", "hk2",
-                  "dloga2", "dloga_full", "atime", "hubble")}
+    scal_keys = ["dk1", "hk1", "dloga1", "ddrift", "dk2", "hk2",
+                 "dloga2", "dloga_full", "atime", "hubble"]
+    if cooling_fn is not None:
+        scal_keys += ["redshift", "uvbg"]
+    scal_spec = {k: P() for k in scal_keys}
     fn = shard_map(step_local, mesh=mesh,
                    in_specs=(in_state_spec, P(), scal_spec),
                    out_specs=(in_state_spec, stats_spec, P()),

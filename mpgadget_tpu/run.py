@@ -215,6 +215,7 @@ class Simulation:
         # Morton-tree force errors between steps; subtracted on output
         self._ipos_offset = np.zeros(3, np.uint32)
         self._nstep_total = 0
+        self._force_evals = 0   # walk-target count (diagnostics)
         self._gas_initialized = False
         self._min_egy_spec = 0.0
 
@@ -1160,6 +1161,29 @@ class Simulation:
             self._compute_tree_forces(active=closing)
             self._bin_half_kick(closing, bins, ti, maxbin,
                                 opening=False)
+            self._force_evals += int(jnp.sum(closing))
+            # re-derive bins for particles closing their interval from
+            # the fresh forces (timestep.c:298-503: bins move per
+            # boundary, not per PM interval); a bin may shrink freely
+            # at its own boundary but may only GROW when the new,
+            # longer interval is aligned with the current clock
+            # (is_timebin_active rule).
+            if ti < t_end and not \
+                    self.cfg.timestep.ForceEqualTimesteps:
+                new_bins = assign_particle_bins(
+                    self.pdata,
+                    self.sph if self._gas_initialized else None,
+                    self.gas_mask, self.CP, self.atime, soft,
+                    self.timeline, ti, self.cfg.timestep, dti_pm)
+                new_bins = jnp.clip(new_bins, 1, maxbin)
+                dtin = (jnp.int64(1) << new_bins.astype(jnp.int64))
+                aligned_new = (jnp.int64(ti) & (dtin - 1)) == 0
+                bins = jnp.where(closing & (new_bins < bins),
+                                 new_bins, bins)
+                bins = jnp.where(closing & (new_bins > bins)
+                                 & aligned_new, new_bins, bins)
+                self.pdata = self.pdata.replace(timebin=bins)
+                dtib = (jnp.int64(1) << bins.astype(jnp.int64))
             n_sub += 1
         # long-range force refresh + closing PM kick at the sync point
         self.compute_forces(tree=False)
@@ -1202,6 +1226,14 @@ class Simulation:
         from .utils.constants import GAMMA
 
         with_gas = bool(self.has_gas and self.cfg.hydro_on)
+        if with_gas and (self.cfg.starformation_on
+                         or self.cfg.black_hole_on
+                         or self.cfg.wind_on
+                         or self.cfg.metal_return_on):
+            raise ValueError(
+                "run_sharded covers gravity+SPH+cooling; SFR/BH/winds/"
+                "metal-return source terms are not sharded yet — use "
+                "the single-device run() for those configs")
         if with_gas and not self._gas_initialized:
             if getattr(self, "_gas_restore", None):
                 self._restore_gas()
@@ -1236,6 +1268,8 @@ class Simulation:
             "amag": pad(jnp.sqrt(jnp.sum(acc0 * acc0, axis=-1))),
             "grav_acc": pad(acc0),
         }
+        with_cooling = bool(with_gas and self.cfg.cooling_on
+                            and not self.cfg.starformation_on)
         if with_gas:
             state.update(
                 gas_mask=pad(self.gas_mask, False),
@@ -1250,7 +1284,39 @@ class Simulation:
                 dt_hsml=pad(self.pdata.dt_hsml),
                 hydro_acc=pad(self.sph.hydro_accel),
                 maxsig=pad(self.sph.max_signal_vel))
+        if with_cooling:
+            if not hasattr(self, "_cooling"):
+                self._init_cooling()
+            state.update(ne=pad(self.sph.ne),
+                         metallicity=pad(self.sph.metallicity))
         state = shard_particles(state, device_mesh, axis="x")
+
+        cooling_fn = None
+        if with_cooling:
+            from .physics.cooling import do_cooling, UVBG, local_uvbg
+            from .utils.constants import GAMMA_MINUS1
+            cr = self._cooling
+            cu = self._cooling_units
+            uvf = getattr(self, "_uvf", None)
+            min_egy = float(self._min_egy_spec)
+
+            def cooling_fn(ipos, entropy, density, ne, met, gas,
+                           scal):
+                atime = scal["atime"]
+                redshift = scal["redshift"]
+                a3 = atime ** 3
+                rho_phys = jnp.maximum(density, 1e-30) / a3
+                u = entropy / GAMMA_MINUS1 * rho_phys ** GAMMA_MINUS1
+                uv = UVBG(*[scal["uvbg"][i] for i in range(7)])
+                if uvf is not None:
+                    uv = local_uvbg(uv, uvf.zreion(ipos), redshift)
+                dt = jnp.full_like(u, scal["dloga_full"]
+                                   / scal["hubble"])
+                u_new, ne2 = do_cooling(cr, redshift, u, rho_phys, dt,
+                                        uv, ne, met, min_egy, cu)
+                ent_new = GAMMA_MINUS1 * u_new \
+                    / rho_phys ** GAMMA_MINUS1
+                return ent_new, ne2
 
         rcut_box = self.cfg.rcut * self.cfg.asmth / self.cfg.nmesh
         hist_bits = 12
@@ -1331,7 +1397,7 @@ class Simulation:
                     min_egy_spec=float(getattr(self, "_min_egy_spec",
                                                0.0)),
                     strip_margin=bp["strip_margin"],
-                    hist_bits=hist_bits)[0]
+                    hist_bits=hist_bits, cooling_fn=cooling_fn)[0]
             return steps_cache[key]
 
         def dloga_from_stats(stats, atime):
@@ -1395,7 +1461,7 @@ class Simulation:
                 upd["dt_hsml"] = state["dt_hsml"][oj]
             self.pdata = self.pdata.replace(**upd)
             if with_gas:
-                self.sph = self.sph.replace(
+                upd_sph = dict(
                     entropy=state["entropy"][oj],
                     dt_entropy=state["dtent"][oj],
                     density=state["density"][oj],
@@ -1405,6 +1471,9 @@ class Simulation:
                     dhsml_egy_factor=state["dhsml_egy"][oj],
                     hydro_accel=state["hydro_acc"][oj],
                     max_signal_vel=state["maxsig"][oj])
+                if with_cooling:
+                    upd_sph["ne"] = state["ne"][oj]
+                self.sph = self.sph.replace(**upd_sph)
 
         nsteps = 0
         stats = None
@@ -1441,6 +1510,14 @@ class Simulation:
                 "atime": jnp.float32(a1),
                 "hubble": jnp.float32(self.CP.hubble_function(a1)),
             }
+            if with_cooling:
+                z1 = 1.0 / a1 - 1.0
+                uv = self._treecool.get_global_uvbg(z1)
+                scal["redshift"] = jnp.float32(z1)
+                scal["uvbg"] = jnp.asarray(
+                    [uv.gJH0, uv.gJHe0, uv.gJHep, uv.epsH0,
+                     uv.epsHe0, uv.epsHep, uv.self_shield_dens],
+                    jnp.float32)
             bounds_dev = jnp.asarray(bounds_np)
             for attempt in range(8):
                 step = get_step(bounds_np)
@@ -1535,6 +1612,7 @@ class Simulation:
                     self.gas_mask, self.cfg.boxsize, mean_sep)
             self.compute_hydro(dloga)
         self.compute_forces()
+        self._force_evals += int(np.asarray(self.pdata.num_valid))
         # K: half kick with forces at t1
         self._apply_half_kick(th, t1)
         # Strang-split source terms (run.c:586-604)

@@ -62,8 +62,16 @@ def test_dm_small_cli_end_to_end(tmp_path):
     try:
         import check_results
         check_results.check_power(outdir, REF_SPECTRUM)
+        if not full:
+            # per-bin golden values for the reduced deterministic
+            # config (the un-gated regression the reference CI's
+            # golden halo list provides at full size)
+            check_results.check_golden_pk(
+                outdir, os.path.join(REPO, "examples/dm-small",
+                                     "golden_reduced_pk.txt"))
     finally:
         sys.path.pop(0)
+        sys.modules.pop("check_results", None)
     # FOF: halos exist and are massive (reduced box: lower threshold
     # than the full example's 9e12)
     from mpgadget_tpu.io.bigfile import BigFile
@@ -86,3 +94,107 @@ def test_dm_small_cli_end_to_end(tmp_path):
     hdr = snap_io.read_header(BigFile(snaps[-1]))
     a_expect = 0.25 if full else 0.15
     assert abs(float(hdr.Time) - a_expect) < 1e-3
+
+
+REF_SPECTRUM_99 = "/root/reference/examples/class_pk_99.dat"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_SPECTRUM_99),
+                    reason="reference spectrum table not available")
+def test_travis_cli_end_to_end(tmp_path):
+    """Full-physics tiny box at z~99-66: measured P(k) must track the
+    CLASS linear spectrum scaled by D1^2 at every output
+    (examples/travis/check-results.py:34-60 analog), un-gated."""
+    gen = tmp_path / "paramfile.genic"
+    gad = tmp_path / "paramfile.gadget"
+    with open(os.path.join(REPO, "examples/travis/paramfile.genic")) \
+            as fh:
+        genic = fh.read()
+    genic = genic.replace("Ngrid = 24", "Ngrid = 16")
+    genic = genic.replace("FileWithInputSpectrum = class_pk_99.dat",
+                          f"FileWithInputSpectrum = {REF_SPECTRUM_99}")
+    genic = genic.replace(
+        "FileWithTransferFunction = class_tk_99.dat",
+        "FileWithTransferFunction = "
+        "/root/reference/examples/class_tk_99.dat")
+    genic = genic.replace("OutputDir = IC", f"OutputDir = {tmp_path}/IC")
+    gen.write_text(genic)
+    with open(os.path.join(REPO, "examples/travis/paramfile.gadget")) \
+            as fh:
+        gadget = fh.read()
+    gadget = gadget.replace("InitCondFile = IC/IC",
+                            f"InitCondFile = {tmp_path}/IC/IC")
+    gadget = gadget.replace("OutputDir = output",
+                            f"OutputDir = {tmp_path}/output")
+    # reduced span for CI (the shipped config runs to 0.015; with
+    # MPG_FULL_EXAMPLES=1 the growth check gets a real lever arm)
+    if os.environ.get("MPG_FULL_EXAMPLES", "") != "1":
+        gadget = gadget.replace("OutputList = 0.01,0.012,0.015",
+                                "OutputList = 0.0101,0.0105")
+        gadget = gadget.replace("TimeMax = 0.015", "TimeMax = 0.0105")
+    gad.write_text(gadget)
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    subprocess.run(
+        [sys.executable, "-m", "mpgadget_tpu.genic.main", str(gen)],
+        check=True, cwd=REPO, env=env, timeout=900)
+    subprocess.run(
+        [sys.executable, "-m", "mpgadget_tpu.main", str(gad)],
+        check=True, cwd=REPO, env=env, timeout=3000)
+
+    outdir = str(tmp_path / "output")
+    sys.path.insert(0, os.path.join(REPO, "examples/travis"))
+    try:
+        import check_results as travis_check
+        travis_check.check_linear_growth(outdir, REF_SPECTRUM_99)
+        travis_check.check_gas_state(outdir)
+    finally:
+        sys.path.pop(0)
+        sys.modules.pop("check_results", None)
+
+
+def test_star_small_cli_end_to_end(tmp_path):
+    """star-small reduced: star formation history window + star
+    particles in the snapshot (the reference CI's golden-SFR style
+    check), un-gated."""
+    gen = tmp_path / "paramfile.genic"
+    gad = tmp_path / "paramfile.gadget"
+    with open(os.path.join(REPO,
+                           "examples/star-small/paramfile.genic")) as fh:
+        genic = fh.read()
+    genic = genic.replace("Ngrid = 32", "Ngrid = 12")
+    genic = genic.replace("OutputDir = IC", f"OutputDir = {tmp_path}/IC")
+    gen.write_text(genic)
+    with open(os.path.join(REPO,
+                           "examples/star-small/paramfile.gadget")) as fh:
+        gadget = fh.read()
+    gadget = gadget.replace("InitCondFile = IC/IC",
+                            f"InitCondFile = {tmp_path}/IC/IC")
+    gadget = gadget.replace("OutputDir = output",
+                            f"OutputDir = {tmp_path}/output")
+    gadget = gadget.replace("OutputList = 0.125,0.15,0.2",
+                            "OutputList = 0.125,0.15")
+    gadget = gadget.replace("TimeMax = 0.2", "TimeMax = 0.15")
+    gad.write_text(gadget)
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    subprocess.run(
+        [sys.executable, "-m", "mpgadget_tpu.genic.main", str(gen)],
+        check=True, cwd=REPO, env=env, timeout=900)
+    subprocess.run(
+        [sys.executable, "-m", "mpgadget_tpu.main", str(gad)],
+        check=True, cwd=REPO, env=env, timeout=3600)
+
+    outdir = str(tmp_path / "output")
+    sys.path.insert(0, os.path.join(REPO, "examples/star-small"))
+    try:
+        import check_results as star_check
+        star_check.check_sfr_history(outdir)
+        star_check.check_stars_in_snapshot(outdir)
+    finally:
+        sys.path.pop(0)
+        sys.modules.pop("check_results", None)

@@ -103,3 +103,41 @@ def test_write_planes_end_to_end(tmp_path):
     assert np.isclose(h["Z"], 1.0 / sim.atime - 1.0)
     assert h["NPART"] == n
     assert "snap3_potentialPlane0_normal0" in files[0]
+
+
+def test_fits_bytes_conform_to_standard(tmp_path):
+    """Byte-level FITS 4.0 conformance: an independent minimal parser
+    (written against the public standard, not our reader) must recover
+    the image — guards the lenstools-facing convention
+    (lenstools.c:322-390) without astropy in the image."""
+    from mpgadget_tpu.io.fits import write_fits_image
+    rng = np.random.RandomState(3)
+    img = rng.randn(17, 33).astype(np.float32)
+    path = tmp_path / "plane.fits"
+    write_fits_image(str(path), img,
+                     header=[("ANGLE", 1.25, "deg"),
+                             ("REDSHIFT", 2.0, "")])
+    raw = open(path, "rb").read()
+    assert len(raw) % 2880 == 0, "file not in 2880-byte FITS blocks"
+    # parse 80-char cards strictly per the standard
+    cards = {}
+    end_at = None
+    for i in range(0, len(raw), 80):
+        card = raw[i:i + 80].decode("ascii")
+        key = card[:8].strip()
+        if key == "END":
+            end_at = i + 80
+            break
+        if card[8:10] == "= ":
+            cards[key] = card[10:].split("/")[0].strip()
+    assert end_at is not None, "no END card"
+    assert cards["SIMPLE"] == "T"
+    bitpix = int(cards["BITPIX"])
+    assert bitpix == -32
+    n1, n2 = int(cards["NAXIS1"]), int(cards["NAXIS2"])
+    assert (n1, n2) == (33, 17)
+    assert abs(float(cards["ANGLE"]) - 1.25) < 1e-12
+    # data starts at the next 2880 boundary after END, big-endian
+    off = ((end_at + 2879) // 2880) * 2880
+    data = np.frombuffer(raw[off:off + n1 * n2 * 4], ">f4")
+    np.testing.assert_array_equal(data.reshape(17, 33), img)
