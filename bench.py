@@ -8,13 +8,15 @@ The step is the flagship computation: short-range Barnes-Hut tree force
 + kick + drift, at 64^3 particles on a 128^3 mesh (the dm-50-512
 benchmark geometry scaled to one chip's compile budget).
 
-Baseline: the reference's dm-50-512 config (512^3 TreePM,
-benchmarks/dm-50-512) is sized for ~30 min on 512 Haswell cores
-(job.cori).  The reference cannot be built in this image (no MPI/GSL,
-PFFT needs network), so the baseline constant is an estimate from that
-job sizing: ~1e4 particle-steps/sec/core * 56 cores = 5.6e5
-particle-steps/sec per modern CPU node.  vs_baseline = our one-chip
-rate / that per-node rate.
+Baseline: MEASURED.  The reference's short-range tree path
+(force_tree_full + grav_short_tree, the dominant TreePM cost) runs
+unmodified single-rank via baseline/ref_tree_bench.c: 10,869
+particle-steps/sec/core at 32^3 unclustered (8,360 clustered; 5,342 at
+64^3 clustered), tree-only, i.e. an upper bound on the full-step rate.
+That reproduces the earlier job-sizing estimate of ~1e4/core, so the
+node constant stays 1e4 * 56 cores = 5.6e5 — the measured unclustered
+upper bound (see BASELINE.md "Measured baseline").  vs_baseline = our
+one-chip rate / that per-node rate.
 """
 
 import json
@@ -159,6 +161,33 @@ def main():
 
     state = (pdata.ipos, pdata.vel, pdata.mass, pdata.valid,
              jnp.zeros(n, jnp.float32))
+
+    if n > 2 ** 21:
+        # 256^3+: the monolithic graph OOMs on XLA's padded FFT temp
+        # (see pm/gravity.pm_force_split); run tree and PM as separate
+        # programs and fuse only the cheap update.
+        from mpgadget_tpu.pm.gravity import pm_force_split
+
+        @jax.jit
+        def tree_part(ipos, mass, valid, amag):
+            return tree_force(ipos, mass, valid, amag, **kw).accel
+
+        @jax.jit
+        def update(ipos, vel, acc_tree, acc_pm):
+            acc = acc_tree + acc_pm
+            amag = jnp.sqrt(jnp.sum(acc * acc, axis=-1))
+            vel = kick(vel, acc, 1e-6)
+            ipos = drift(ipos, vel, 1e-6, 1.0 / boxsize)
+            return ipos, vel, amag
+
+        def step_big(ipos, vel, mass, valid, amag):
+            acc_tree = tree_part(ipos, mass, valid, amag)
+            acc_pm, _, _ = pm_force_split(ipos, mass, nmesh, boxsize,
+                                          43007.1, 1.5)
+            return update(ipos, vel, acc_tree, acc_pm)
+
+        step = step_big
+        batch = 1
 
     def run1(state):
         ipos, vel, amag = step(*state)

@@ -58,7 +58,10 @@ def run_genic(paramfile_or_ps, override=None):
     boxsize = ps["BoxSize"]
     ngrid = ps["Ngrid"]
     ngrid_gas = ps["NgridGas"] if ps["NgridGas"] > 0 else ngrid
-    nmesh = ps["Nmesh"] if ps["Nmesh"] > 0 else ngrid
+    # reference default: displacement mesh at twice the particle grid
+    # (genic/params.c:198-199) — keeps CIC-readout smoothing of the
+    # displacement field well below the particle Nyquist band
+    nmesh = ps["Nmesh"] if ps["Nmesh"] > 0 else 2 * ngrid
     produce_gas = bool(ps["ProduceGas"])
     use_pec = bool(ps["UsePeculiarVelocity"])
 
@@ -71,9 +74,14 @@ def run_genic(paramfile_or_ps, override=None):
     if produce_gas:
         mass_cdm = omega_cdm * rho / ngrid ** 3
         mass_gas = cp.OmegaBaryon * rho / ngrid_gas ** 3
-        # offset grids by half mean separations (genic/main.c:62-78)
-        shift_cdm = 0.5 * boxsize / ngrid * 0.5
-        shift_gas = -0.5 * boxsize / ngrid_gas * 0.5
+        # mass-weighted lattice offsets (genic/main.c:63-64): the
+        # mass-weighted mean shift of the interleaved grids is zero,
+        # cancelling the leading-order chessboard power of two offset
+        # lattices with unequal masses
+        shift_cdm = (0.5 * cp.OmegaBaryon / cp.Omega0
+                     * boxsize / ngrid)
+        shift_gas = (-0.5 * (cp.Omega0 - cp.OmegaBaryon) / cp.Omega0
+                     * boxsize / ngrid_gas)
         tcdm = DELTA_CDM if ppar.DifferentTransferFunctions else DELTA_CB
         tgas = DELTA_BAR if ppar.DifferentTransferFunctions else DELTA_CB
     else:

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from .power import DELTA_TOT
+from ..pm.gravity import _rfft3, _irfft3
 from ..ops.cic import cic_readout
 from ..particles import pos_to_fixed
 
@@ -51,7 +52,8 @@ def gaussian_modes(seed, nmesh, unitary=False, invert=False):
     """
     key = jax.random.PRNGKey(seed)
     noise = jax.random.normal(key, (nmesh, nmesh, nmesh), jnp.float32)
-    modes = jnp.fft.rfftn(noise) * (1.0 / nmesh ** 1.5)
+    fftn = _rfft3 if nmesh > 256 else jnp.fft.rfftn
+    modes = fftn(noise) * (1.0 / nmesh ** 1.5)
     if unitary:
         amp = jnp.abs(modes)
         modes = modes / jnp.where(amp > 0, amp, 1.0)
@@ -100,12 +102,13 @@ def displacement_fields(modes, delta_table, growth_table, nmesh, boxsize,
     for ka in (kx, ky, kz):
         fac = ka / k2safe * jnp.float32(boxsize / (2 * np.pi))
         psi_k = delta_k * (1j * fac)
-        psi = jnp.fft.irfftn(psi_k)
+        ifftn = _irfft3 if nmesh > 256 else jnp.fft.irfftn
+        psi = ifftn(psi_k)
         disp.append(cic_readout(psi, ipos))
         if scale_dep_velocity:
             growth = jnp.interp(logk, growth_table[0], growth_table[1])
             psi_v = delta_k * (1j * fac * growth)
-            vel.append(cic_readout(jnp.fft.irfftn(psi_v), ipos))
+            vel.append(cic_readout(ifftn(psi_v), ipos))
     disp = jnp.stack(disp, axis=-1)
     vel = jnp.stack(vel, axis=-1) if scale_dep_velocity else disp
     return disp, vel
@@ -123,7 +126,8 @@ def density_field(modes, delta_table, nmesh, boxsize, ipos):
     sqrtP = jnp.where(k2 == 0, 0.0, sqrtP)
     smooth = jnp.exp(-k2 * jnp.float32(1.0 / nmesh) ** 2)
     amp = sqrtP * smooth * jnp.float32(float(nmesh) ** 3 / boxsize ** 1.5)
-    delta = jnp.fft.irfftn((modes * amp).astype(jnp.complex64))
+    ifftn = _irfft3 if nmesh > 256 else jnp.fft.irfftn
+    delta = ifftn((modes * amp).astype(jnp.complex64))
     return cic_readout(delta, ipos)
 
 

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from .tree import TreeConfig
-from .tree32 import build_tree32, sort_by_morton32
+from .tree32 import build_tree32, sort_by_morton32_payload
 from .treewalk import (WalkConfig, make_block_groups, make_leaf_sources,
                        traverse_fused, evaluate_leaves)
 
@@ -66,20 +66,25 @@ def tree_force(ipos, mass, valid, acc_old_mag, *, leaf_max, max_level,
         if target_active is not None:
             target_active = jnp.pad(target_active, (0, npad))
 
-    hi, lo, perm = sort_by_morton32(ipos, valid)
-    ipos_s = ipos[perm]
-    mass_s = mass[perm]
-    valid_s = valid[perm]
+    # carry all per-particle fields through one multi-operand sort
+    # (a post-sort [perm] gather costs ~175 ms/column at 16.7M; a sort
+    # payload column ~10 ms)
+    payload = [mass, acc_old_mag]
+    if target_active is not None:
+        payload.append(target_active.astype(jnp.uint8))
+    hi, lo, perm, ipos_s, valid_s, pay_s = sort_by_morton32_payload(
+        ipos, valid, payload)
+    mass_s = pay_s[0]
+    amag_s = pay_s[1]
 
     tree = build_tree32(hi, lo, ipos_s, mass_s, valid_s, leaf_max,
                         max_level, node_cap, group_max=G)
     pos_box = ipos_s.astype(jnp.float32) * jnp.float32(2.0 ** -32)
 
-    amag_s = acc_old_mag[perm]
     tpos, gc, gh, amin, active = make_block_groups(
         pos_box, valid_s, amag_s, G)
     if target_active is not None:
-        act_s = (valid_s & target_active[perm]).reshape(-1, G)
+        act_s = (valid_s & pay_s[2].astype(bool)).reshape(-1, G)
         active = active & jnp.any(act_s, axis=1)
     aold = err_tol_force_acc * amin / g_over_box2
 

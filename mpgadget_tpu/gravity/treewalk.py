@@ -111,11 +111,16 @@ def traverse_fused(tree, tpos, center, half, aold, active,
     """
     LL = cfg.leaf_list_max
     rcut2 = rcut * rcut
+    # meta (skip | leaf flag) rides in the f32 row as a bitcast lane:
+    # ONE 36-byte row gather per visited node instead of two gathers
+    # (each gather costs ~10 ns/row at 16.7M on v5e, independent of
+    # row width)
+    meta_i = tree.skip | jnp.where(tree.is_leaf, jnp.int32(-2 ** 31),
+                                   jnp.int32(0))
     packed = jnp.concatenate(
         [tree.center, tree.length[:, None], tree.mass[:, None],
-         tree.com], axis=1)
-    meta = tree.skip | jnp.where(tree.is_leaf, jnp.int32(-2 ** 31),
-                                 jnp.int32(0))
+         tree.com, jax.lax.bitcast_convert_type(
+             meta_i, jnp.float32)[:, None]], axis=1)
 
     def walk(tpos_b, center_b, half_b, aold_b, active_b):
         def cond(st):
@@ -124,7 +129,7 @@ def traverse_fused(tree, tpos, center, half, aold, active,
         def body(st):
             i, nl, leaves, ovf, acc, pot = st
             row = packed[i]
-            mt = meta[i]
+            mt = jax.lax.bitcast_convert_type(row[8], jnp.int32)
             c = row[:3]
             ln = row[3]
             m = row[4]

@@ -147,19 +147,31 @@ def force_transfer_fac(k, nmesh, boxsize):
 
 
 def _rfft3(x):
-    """rfftn as three 1-D passes.  XLA's TPU plan for a monolithic
-    3-D rfftn at N=512 materializes an f32[512,512,128,4] temp whose
-    trailing dim pads 32x to 16 GB (measured); per-axis transforms
-    keep compact layouts and run in ~90 ms at 512^3."""
-    r = jnp.fft.rfft(x, axis=2)
-    r = jnp.fft.fft(r, axis=1)
-    return jnp.fft.fft(r, axis=0)
+    """rfftn as three axis-0 1-D passes with explicit transposes.
+
+    XLA's TPU plan for an FFT along a MINOR axis at N=512 factorizes
+    512 = 128*4 and materializes an f32[512,512,128,4] temp whose
+    trailing dim tiles 32x to 16 GB (measured from the HBM allocation
+    dump).  Transforming only along axis 0 keeps the factorization
+    reshape's minor dims at their original (tile-friendly) sizes; the
+    three 1 GB transposes are pure bandwidth (~ms each)."""
+    t = jnp.transpose(x, (2, 0, 1))          # (z, x, y)
+    t = jnp.fft.rfft(t, axis=0)              # (zk, x, y)
+    t = jnp.transpose(t, (1, 0, 2))          # (x, zk, y)
+    t = jnp.fft.fft(t, axis=0)               # (xk, zk, y)
+    t = jnp.transpose(t, (2, 1, 0))          # (y, zk, xk)
+    t = jnp.fft.fft(t, axis=0)               # (yk, zk, xk)
+    return jnp.transpose(t, (2, 0, 1))       # (xk, yk, zk)
 
 
 def _irfft3(k):
-    r = jnp.fft.ifft(k, axis=0)
-    r = jnp.fft.ifft(r, axis=1)
-    return jnp.fft.irfft(r, axis=2)
+    t = jnp.transpose(k, (1, 2, 0))          # (yk, zk, xk)
+    t = jnp.fft.ifft(t, axis=0)              # (y, zk, xk)
+    t = jnp.transpose(t, (2, 1, 0))          # (xk, zk, y)
+    t = jnp.fft.ifft(t, axis=0)              # (x, zk, y)
+    t = jnp.transpose(t, (1, 0, 2))          # (zk, x, y)
+    t = jnp.fft.irfft(t, axis=0)             # (z, x, y)
+    return jnp.transpose(t, (1, 2, 0))       # (x, y, z)
 
 
 @partial(jax.jit, static_argnames=("nmesh", "compute_potential", "nbins"))
@@ -233,6 +245,101 @@ def _pm_force_kernel(ipos, weights, nmesh, boxsize, gconst, asmth,
         accel = jnp.stack(comps, axis=-1)
 
     return accel, out_pot, (p_bins, n_bins, k_bins, norm)
+
+
+@partial(jax.jit, static_argnames=("nmesh",))
+def _pm_deposit_j(ipos, weights, nmesh):
+    return cic_deposit(ipos, weights, nmesh)
+
+
+@partial(jax.jit, static_argnames=("nmesh", "nbins"))
+def _pm_fwd_j(mesh, nmesh, nbins):
+    """rfft + in-line power binning as its own XLA program."""
+    rho_k = _rfft3(mesh)
+    kx, ky, kz = _kmodes(nmesh)
+    k2 = kx * kx + ky * ky + kz * kz
+    deconv = _deconv(nmesh)
+    m2 = (rho_k.real ** 2 + rho_k.imag ** 2) * deconv * deconv
+    w = jnp.where((kz == 0) | (kz == nmesh // 2), 1.0, 2.0) \
+        * jnp.ones_like(k2)
+    binsperunit = (nbins - 1) / np.log(np.sqrt(3.0) * nmesh / 2.0)
+    kint = jnp.floor(binsperunit * 0.5 * jnp.log(
+        jnp.maximum(k2, 1e-30))).astype(jnp.int32)
+    kint = jnp.where(k2 == 0, nbins, kint)
+    keff = jnp.sqrt(k2)
+    p_bins, n_bins, k_bins = _bin_reduce(
+        kint.ravel(), nbins, (w * m2).ravel(), w.ravel(),
+        (w * keff).ravel())
+    norm = rho_k[0, 0, 0].real ** 2
+    return rho_k, (p_bins, n_bins, k_bins, norm)
+
+
+@partial(jax.jit, static_argnames=("nmesh", "axis"))
+def _pm_axis_mesh_j(rho_k, nmesh, boxsize, gconst, asmth, axis):
+    """Real-space force mesh for one axis as its own XLA program."""
+    kx, ky, kz = _kmodes(nmesh)
+    k2 = kx * kx + ky * ky + kz * kz
+    deconv = _deconv(nmesh)
+    pot_k = rho_k * potential_transfer_fac(k2, deconv, nmesh,
+                                           jnp.float32(boxsize),
+                                           gconst, asmth)
+    kk = (kx, ky, kz)[axis]
+    fk = pot_k * (1j * force_transfer_fac(kk, nmesh,
+                                          jnp.float32(boxsize)))
+    return _irfft3(fk)
+
+
+@partial(jax.jit, static_argnames=("nmesh",))
+def _pm_pot_mesh_j(rho_k, nmesh, boxsize, gconst, asmth):
+    kx, ky, kz = _kmodes(nmesh)
+    k2 = kx * kx + ky * ky + kz * kz
+    deconv = _deconv(nmesh)
+    pot_k = rho_k * potential_transfer_fac(k2, deconv, nmesh,
+                                           jnp.float32(boxsize),
+                                           gconst, asmth)
+    return _irfft3(pot_k)
+
+
+@jax.jit
+def _pm_readout3_j(m0, m1, m2, ipos):
+    """One CIC pass over all three force meshes: the 8 corner gathers
+    fetch 12-byte rows of the stacked mesh instead of 3 separate
+    scalar-gather passes (measured 3x cheaper at 16.7M particles)."""
+    meshes = jnp.stack([m0, m1, m2], axis=-1)
+    return cic_readout_vec(meshes, ipos)
+
+
+@jax.jit
+def _pm_readout4_j(m0, m1, m2, m3, ipos):
+    meshes = jnp.stack([m0, m1, m2, m3], axis=-1)
+    return cic_readout_vec(meshes, ipos)
+
+
+def pm_force_split(ipos, weights, nmesh, boxsize, gconst, asmth,
+                   compute_potential=False, nbins=None):
+    """PM force as SEPARATE XLA programs (deposit / fft+power / one
+    ifft per force axis / one vector readout).
+
+    A monolithic program at nmesh=512 lets XLA's layout assignment put
+    the FFT factorization temp in a 32x-padded tiling (16 GB, OOM);
+    compiled standalone each stage picks compact layouts (measured:
+    the same FFT runs in ~90 ms).  Used by the single-chip path when
+    nmesh > 256; costs a few extra dispatches per step."""
+    if nbins is None:
+        nbins = nmesh
+    gconst = jnp.float32(gconst)
+    asmth = jnp.float32(asmth)
+    mesh = _pm_deposit_j(ipos, weights, nmesh)
+    rho_k, pk = _pm_fwd_j(mesh, nmesh, nbins)
+    meshes = [_pm_axis_mesh_j(rho_k, nmesh, boxsize, gconst, asmth, ax)
+              for ax in range(3)]
+    if compute_potential:
+        meshes.append(_pm_pot_mesh_j(rho_k, nmesh, boxsize, gconst,
+                                     asmth))
+        out = _pm_readout4_j(*meshes, ipos)
+        return out[:, :3], out[:, 3], pk
+    accel = _pm_readout3_j(*meshes, ipos)
+    return accel, None, pk
 
 
 def pm_force(ipos, weights, cfg: PMConfig,

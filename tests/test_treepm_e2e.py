@@ -36,6 +36,7 @@ ProduceGas = 0
 BoxSize = 64000
 Redshift = 9
 Ngrid = 24
+Nmesh = 24
 Seed = 181170
 UnitaryAmplitude = 1
 DifferentTransferFunctions = 0
