@@ -82,3 +82,66 @@ def test_parse_walltime(tmp_path):
     from parse_walltime import parse
     last = parse(str(log), ["PMgrav"])
     assert last == {"PMgrav": 3.0, "Tree": 2.0}
+
+
+def test_convert_from_gadget_1(tmp_path):
+    """Round-trip: synthetic Gadget-1 binary -> bigfile -> values match
+    (velocity u*sqrt(a) -> peculiar, reference converter convention)."""
+    import struct
+    rng = np.random.RandomState(4)
+    n1 = 8   # type 1 (massarr-carried mass)
+    n0 = 4   # gas with mass block + u
+    npart = [n0, n1, 0, 0, 0, 0]
+    massarr = [0.0, 2.5, 0, 0, 0, 0]
+    a = 0.25
+    pos = rng.uniform(0, 1000.0, (n0 + n1, 3)).astype("<f4")
+    vel = rng.randn(n0 + n1, 3).astype("<f4")
+    ids = np.arange(1, n0 + n1 + 1, dtype="<u4")
+    gasmass = np.full(n0, 0.5, "<f4")
+    u = np.linspace(10, 40, n0).astype("<f4")
+
+    hdr = struct.pack("<6i", *npart) + struct.pack("<6d", *massarr)
+    hdr += struct.pack("<dd", a, 1 / a - 1)
+    hdr += struct.pack("<2i", 0, 0)
+    hdr += struct.pack("<6I", *npart)
+    hdr += struct.pack("<2i", 0, 1)
+    hdr += struct.pack("<4d", 1000.0, 0.3, 0.7, 0.7)
+    hdr += struct.pack("<2i", 0, 0) + struct.pack("<6I", 0, 0, 0, 0, 0, 0)
+    hdr += b"\x00" * (256 - len(hdr))
+
+    def rec(payload):
+        return struct.pack("<i", len(payload)) + payload \
+            + struct.pack("<i", len(payload))
+
+    snap = tmp_path / "snap_000"
+    with open(snap, "wb") as fh:
+        fh.write(rec(hdr))
+        fh.write(rec(pos.tobytes()))
+        fh.write(rec(vel.tobytes()))
+        fh.write(rec(ids.tobytes()))
+        fh.write(rec(gasmass.tobytes()))
+        fh.write(rec(u.tobytes()))
+
+    out = str(tmp_path / "bf")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools",
+                                      "convert_from_gadget_1.py"),
+         str(snap), out], check=True, env=env, timeout=300)
+
+    from mpgadget_tpu.io.bigfile import BigFile
+    bf = BigFile(out)
+    hdrb = bf.open("Header")
+    assert float(np.asarray(hdrb.attrs["Time"])[0]) == a
+    assert int(np.asarray(hdrb.attrs["UsePeculiarVelocity"])[0]) == 1
+    p1 = bf.open("1/Position").read()
+    np.testing.assert_allclose(p1, pos[n0:], rtol=1e-6)
+    v1 = bf.open("1/Velocity").read()
+    np.testing.assert_allclose(v1, vel[n0:] * np.sqrt(a), rtol=1e-6)
+    m0 = bf.open("0/Mass").read()
+    np.testing.assert_allclose(m0, gasmass, rtol=1e-6)
+    u0 = bf.open("0/InternalEnergy").read()
+    np.testing.assert_allclose(u0, u, rtol=1e-6)
+    i1 = bf.open("1/ID").read()
+    np.testing.assert_array_equal(i1, ids[n0:])
