@@ -33,16 +33,23 @@ class TreeForceResult:
     accel: jnp.ndarray          # f32[N,3] internal units, original order
     potential: jnp.ndarray      # f32[N] internal units (0 if not computed)
     overflow: jnp.ndarray       # bool: any capacity exceeded (redo bigger)
+    # active-target compaction diagnostics (hierarchical stepping):
+    # true number of active blocks, and whether active_block_cap was
+    # exceeded (retry with a bigger cap WITHOUT touching walk buffers)
+    n_active_blocks: jnp.ndarray
+    compact_overflow: jnp.ndarray
 
 
 @partial(jax.jit, static_argnames=(
     "leaf_max", "max_level", "node_cap", "group_size",
     "walk_cfg", "with_potential", "use_bh", "rcut_box", "theta2",
-    "err_tol_force_acc", "rs_inv_box", "h_inv_box", "g_over_box2"))
+    "err_tol_force_acc", "rs_inv_box", "h_inv_box", "g_over_box2",
+    "active_block_cap"))
 def tree_force(ipos, mass, valid, acc_old_mag, *, leaf_max, max_level,
                node_cap, group_size, walk_cfg, rcut_box,
                theta2, use_bh, err_tol_force_acc, rs_inv_box, h_inv_box,
-               g_over_box2, with_potential, target_active=None):
+               g_over_box2, with_potential, target_active=None,
+               active_block_cap=None):
     """Short-range tree force for all particles, fully on-device.
 
     acc_old_mag: |a_old| per particle in internal units (relative
@@ -54,6 +61,14 @@ def tree_force(ipos, mass, valid, acc_old_mag, *, leaf_max, max_level,
     particle are walked (hierarchical-timebin stepping, the active-set
     analog of timestep.c:298); inactive targets get zero accel and the
     caller keeps their old values.  All valid particles remain sources.
+
+    active_block_cap: optional static int — compact the active target
+    blocks to this many slots before the walk, so walk + leaf cost
+    scales with the ACTIVE set instead of N (the payoff of the
+    reference's active-only force trees, forcetree.h:125-140; without
+    it inactive lanes still ride every vectorized walk iteration).
+    Overflow (more active blocks than the cap) is reported in the
+    result for the caller's resize-and-retry.
     """
     n = ipos.shape[0]
     G = group_size
@@ -88,19 +103,54 @@ def tree_force(ipos, mass, valid, acc_old_mag, *, leaf_max, max_level,
         active = active & jnp.any(act_s, axis=1)
     aold = err_tol_force_acc * amin / g_over_box2
 
-    acc0, pot0, leaf_idx, nl, walk_ovf = traverse_fused(
-        tree, tpos, gc, gh, aold, active, walk_cfg,
-        rcut_box, theta2, use_bh, rs_inv_box, h_inv_box,
-        with_potential=with_potential)
+    nb = tpos.shape[0]
+    compact_ovf = jnp.asarray(False)
+    n_act = jnp.asarray(0, jnp.int32)
+    if target_active is not None:
+        n_act = jnp.sum(active.astype(jnp.int32))
+    if target_active is not None and active_block_cap is not None \
+            and active_block_cap < nb:
+        # compact active blocks to [cap] slots: one scatter + gathers,
+        # then every vectorized walk iteration touches cap lanes, not
+        # nb (the active-only-tree payoff, forcetree.h:125-140)
+        cap = active_block_cap
+        rank = jnp.cumsum(active.astype(jnp.int32)) - 1
+        compact_ovf = n_act > cap
+        bidx = jnp.zeros(cap, jnp.int32).at[
+            jnp.where(active, jnp.minimum(rank, cap - 1), cap)
+        ].set(jnp.arange(nb, dtype=jnp.int32), mode="drop")
+        slot_ok = jnp.arange(cap) < n_act
+        tpos_c = tpos[bidx]
+        acc0, pot0, leaf_idx, nl, walk_ovf = traverse_fused(
+            tree, tpos_c, gc[bidx], gh[bidx], aold[bidx], slot_ok,
+            walk_cfg, rcut_box, theta2, use_bh, rs_inv_box, h_inv_box,
+            with_potential=with_potential)
+    else:
+        bidx = None
+        tpos_c = tpos
+        acc0, pot0, leaf_idx, nl, walk_ovf = traverse_fused(
+            tree, tpos, gc, gh, aold, active, walk_cfg,
+            rcut_box, theta2, use_bh, rs_inv_box, h_inv_box,
+            with_potential=with_potential)
     ntot = n + npad
     nleaf_cap = int(walk_cfg.nleaf_frac * ntot) + 256
     sr_cap = int(walk_cfg.sr_frac * ntot) + 256
     leaf_src = make_leaf_sources(tree, pos_box, mass_s, valid_s,
                                  nleaf_cap, sr_cap, walk_cfg.sub)
     acc_box, pot_box, src_ovf = evaluate_leaves(
-        tree, leaf_src, tpos, leaf_idx, nl,
+        tree, leaf_src, tpos_c, leaf_idx, nl,
         acc0, pot0, walk_cfg, rs_inv_box, h_inv_box,
         rcut_box, with_potential=with_potential)
+
+    if bidx is not None:
+        # scatter compacted block results back to the full sorted array
+        cap = active_block_cap
+        rows = (jnp.where(slot_ok, bidx, nb)[:, None] * G
+                + jnp.arange(G, dtype=jnp.int32)[None, :]).reshape(-1)
+        acc_box = jnp.zeros((ntot, 3), jnp.float32).at[rows].set(
+            acc_box.reshape(cap * G, 3), mode="drop")
+        pot_box = jnp.zeros((ntot,), jnp.float32).at[rows].set(
+            pot_box.reshape(cap * G), mode="drop")
 
     # unsort by scattering through perm (direct inverse, no argsort)
     acc = jnp.zeros((n + npad, 3), jnp.float32).at[perm].set(
@@ -109,7 +159,9 @@ def tree_force(ipos, mass, valid, acc_old_mag, *, leaf_max, max_level,
     pot = jnp.zeros((n + npad,), jnp.float32).at[perm].set(pot_box)[:n]
     overflow = (tree.overflow | leaf_src[3] | jnp.any(walk_ovf)
                 | jnp.any(src_ovf))
-    return TreeForceResult(accel=acc, potential=pot, overflow=overflow)
+    return TreeForceResult(accel=acc, potential=pot, overflow=overflow,
+                           n_active_blocks=n_act,
+                           compact_overflow=compact_ovf)
 
 
 @dataclass
@@ -174,18 +226,25 @@ class TreeGravity:
         )
 
     def compute(self, pdata, return_potential=False,
-                target_active=None):
+                target_active=None, active_block_cap=None):
         """Short-range accel (internal units) for all particles (or
-        the active subset; inactive rows return zero)."""
+        the active subset; inactive rows return zero).
+
+        active_block_cap: static cap on compacted active target blocks
+        (see tree_force); callers bucket it to powers of two so the
+        jit cache stays small."""
         acc_old = pdata.grav_accel + pdata.grav_pm
         amag = jnp.sqrt(jnp.sum(acc_old * acc_old, axis=-1))
         kw = self.force_kwargs(int(pdata.capacity))
         kw["with_potential"] = self.with_potential or return_potential
         res = tree_force(pdata.ipos, pdata.mass, pdata.valid, amag,
-                         target_active=target_active, **kw)
+                         target_active=target_active,
+                         active_block_cap=active_block_cap, **kw)
         if self.tree_use_bh > 1:
             self._use_bh_now = False  # BH on first call only
         self.last_overflow = res.overflow
+        self.last_compact_overflow = res.compact_overflow
+        self.last_n_active_blocks = res.n_active_blocks
         if return_potential:
             pot = res.potential * jnp.float32(self.G / self.boxsize)
             return res.accel, pot

@@ -41,6 +41,14 @@ class WalkConfig:
     leaf_list_max: int = 512    # opened leaves recorded per block
     src_cap: int = 4096         # direct-source slots per block (sub-row
     #                             compacted; must be a multiple of sub)
+    walk_chunk: int = 0         # blocks per sequential walk chunk
+    #                             (0 = all blocks in one vmapped loop).
+    #                             A vmapped while_loop runs every lane
+    #                             until the SLOWEST block finishes;
+    #                             chunking bounds each chunk by its own
+    #                             local max — Morton-adjacent blocks do
+    #                             similar work, so the sum of chunk
+    #                             maxima ~ the mean, not the global max.
     sub: int = 8                # sub-row width: leaves are padded to
     #                             ceil(count/sub)*sub aligned slots
     nleaf_frac: float = 0.15    # leaf-table capacity = frac * N + 256
@@ -94,10 +102,10 @@ def make_block_groups(pos_box, valid_s, amag_s, group_size):
 
 @partial(jax.jit, static_argnames=("cfg", "with_potential", "rcut",
                                    "bh_angle2", "rs_inv", "h_inv",
-                                   "use_bh"))
+                                   "use_bh", "count_steps"))
 def traverse_fused(tree, tpos, center, half, aold, active,
                    cfg: WalkConfig, rcut, bh_angle2, use_bh, rs_inv,
-                   h_inv, with_potential=False):
+                   h_inv, with_potential=False, count_steps=False):
     """Skip-pointer walk per block with fused multipole evaluation.
 
     aold: ErrTolForceAcc * min |old accel| over the block, in box-unit
@@ -127,7 +135,7 @@ def traverse_fused(tree, tpos, center, half, aold, active,
             return st[0] < tree.n_nodes
 
         def body(st):
-            i, nl, leaves, ovf, acc, pot = st
+            i, nl, leaves, ovf, acc, pot, nst = st
             row = packed[i]
             mt = jax.lax.bitcast_convert_type(row[8], jnp.int32)
             c = row[:3]
@@ -173,7 +181,9 @@ def traverse_fused(tree, tpos, center, half, aold, active,
             ovf = ovf | (rec_leaf & (nl >= LL))
             nl = nl + jnp.where(rec_leaf & (nl < LL), one, jnp.int32(0))
             i = jnp.where(descend, i + one, skip).astype(jnp.int32)
-            return (i, nl, leaves, ovf, acc, pot)
+            if count_steps:
+                nst = nst + one
+            return (i, nl, leaves, ovf, acc, pot, nst)
 
         G = tpos_b.shape[1]
         start = jnp.where(active_b, jnp.int32(0),
@@ -181,8 +191,11 @@ def traverse_fused(tree, tpos, center, half, aold, active,
         zg = jnp.zeros(G, jnp.float32)
         st0 = (start, jnp.int32(0),
                jnp.full(LL, tree.capacity, jnp.int32), False,
-               (zg, zg, zg), zg)
-        i, nl, leaves, ovf, acc, pot = jax.lax.while_loop(cond, body, st0)
+               (zg, zg, zg), zg, jnp.int32(0))
+        i, nl, leaves, ovf, acc, pot, nst = jax.lax.while_loop(
+            cond, body, st0)
+        if count_steps:
+            return jnp.stack(acc, axis=0), pot, leaves, nl, ovf, nst
         return jnp.stack(acc, axis=0), pot, leaves, nl, ovf
 
     # tpos in component-major (nb, 3, G) layout

@@ -25,14 +25,37 @@ def make_sim_mesh(devices=None, axis="shard"):
 
 
 def shard_particles(pdata, mesh, axis="shard"):
-    """Place particle arrays row-sharded over the mesh axis."""
+    """Place particle arrays row-sharded over the mesh axis.
+
+    Multi-host: every process passes the same full host array (the
+    reference reads the same snapshot on every rank before the domain
+    scatter, petaio.c:33-68); shards are materialized per process from
+    the local slice via make_array_from_callback, so nothing is sent
+    over DCN at load time."""
+    multi = jax.process_count() > 1
+
     def put(x):
         if x.ndim >= 1 and x.shape[0] % mesh.size == 0:
-            return jax.device_put(x, NamedSharding(
-                mesh, P(axis, *([None] * (x.ndim - 1)))))
-        return jax.device_put(x, NamedSharding(mesh, P()))
+            sh = NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1))))
+        else:
+            sh = NamedSharding(mesh, P())
+        if multi:
+            x_np = np.asarray(x)
+            return jax.make_array_from_callback(
+                x_np.shape, sh, lambda idx: x_np[idx])
+        return jax.device_put(x, sh)
 
     return jax.tree_util.tree_map(put, pdata)
+
+
+def fetch_global(x):
+    """Host numpy view of a possibly multi-process global array
+    (outputs/final state only — not per step)."""
+    if jax.process_count() > 1 and not x.is_fully_replicated:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(
+            x, tiled=True))
+    return np.asarray(x)
 
 
 def sharded_pm_step(mesh, nmesh, boxsize, gconst, asmth, axis="shard"):

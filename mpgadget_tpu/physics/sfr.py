@@ -156,7 +156,9 @@ def cooling_and_starformation(par: SFRParams, cr, cunits, rng_key,
       star_mass (0 = no star), convert (bool: full conversion).
     """
     a3inv = 1.0 / atime ** 3
-    dtime = dloga / hubble
+    # dloga may be per-particle (hierarchical bins close with their own
+    # interval, timestep.c:298) or a scalar (global stepping)
+    dtime = jnp.asarray(dloga, jnp.float32) / hubble
     rho_phys = density * a3inv
     on_eeqos = sfreff_on_eeqos(par, density, delay_time, a3inv) \
         & valid_gas
@@ -165,9 +167,10 @@ def cooling_and_starformation(par: SFRParams, cr, cunits, rng_key,
     u_current = entropy * enttou
 
     # --- normal cooling branch ---
-    u_cooled, ne_cooled = do_cooling_fn(u_current, rho_phys,
-                                        jnp.full_like(u_current, dtime),
-                                        ne, metallicity)
+    u_cooled, ne_cooled = do_cooling_fn(
+        u_current, rho_phys,
+        jnp.broadcast_to(dtime, u_current.shape).astype(u_current.dtype),
+        ne, metallicity)
     ent_cooled = u_cooled / jnp.maximum(enttou, 1e-30)
 
     # --- eEOS branch ---

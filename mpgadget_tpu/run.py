@@ -420,7 +420,7 @@ class Simulation:
         logk, nufac = self._nu_table_state.step(self.atime, delta)
         return (logk, nufac)
 
-    def _compute_tree_forces(self, active=None):
+    def _compute_tree_forces(self, active=None, n_active=None):
         from .gravity.treepm import TreeGravity
         if self._tree_grav is None:
             # softening in units of mean DM separation
@@ -445,10 +445,39 @@ class Simulation:
         # recompiles, so steady-state configs should size WalkConfig to
         # avoid it; the overflow check syncs only on the retry path.
         from dataclasses import replace as dc_replace
-        for attempt in range(6):
+        # Compacted active-block cap: start from the cap observed on
+        # the previous active call (clustered actives occupy far fewer
+        # blocks than the worst case); power-of-two bucketed so the jit
+        # cache stays small; compact-overflow retries only bump THIS
+        # cap, not the walk buffers.
+        active_cap = None
+        nb = 0
+        if active is not None and n_active is not None:
+            G = self._tree_grav.tree_cfg.group_max
+            nb = (int(self.pdata.capacity) + G - 1) // G
+            hint = getattr(self, "_active_cap_hint", None)
+            want = hint if hint is not None \
+                else max(1, min(nb, int(n_active)))
+            cap = 1 << (max(1, want) - 1).bit_length()
+            if cap <= nb // 2:
+                active_cap = cap
+        for attempt in range(8):
             accel = self._tree_grav.compute(self.pdata,
-                                            target_active=active)
+                                            target_active=active,
+                                            active_block_cap=active_cap)
+            if active_cap is not None and bool(
+                    self._tree_grav.last_compact_overflow):
+                observed = int(self._tree_grav.last_n_active_blocks)
+                want = max(observed, active_cap * 2)
+                active_cap = 1 << (want - 1).bit_length()
+                if active_cap > nb // 2:
+                    active_cap = None
+                continue
             if not bool(jnp.any(self._tree_grav.last_overflow)):
+                if active is not None:
+                    # remember the observed block count (+25% slack)
+                    obs = int(self._tree_grav.last_n_active_blocks)
+                    self._active_cap_hint = max(4, (obs * 5) // 4)
                 break
             wc = self._tree_grav.walk_cfg
             self._tree_grav.walk_cfg = dc_replace(
@@ -713,14 +742,20 @@ class Simulation:
             uu_in_cgs=units.UnitInternalEnergy_in_cgs,
             tt_in_s=units.UnitTime_in_s / h)
 
-    def apply_cooling(self, dloga):
+    def apply_cooling(self, dloga, active=None):
         """Strang-split cooling after the kick (cooling_direct path of
-        cooling_and_starformation, sfr_eff.c:187)."""
+        cooling_and_starformation, sfr_eff.c:187).
+
+        dloga may be per-particle (hierarchical bins, each closing
+        particle cools over its own interval) and ``active`` restricts
+        the update to the closing set."""
         from .physics.cooling import do_cooling
         from .utils.constants import GAMMA_MINUS1
         if not hasattr(self, "_cooling"):
             self._init_cooling()
         gas = self.gas_mask
+        if active is not None:
+            gas = gas & active
         atime = self.atime
         redshift = 1.0 / atime - 1.0
         hubble = self.CP.hubble_function(atime)
@@ -733,7 +768,8 @@ class Simulation:
         a3 = atime ** 3
         rho_phys = jnp.maximum(self.sph.density, 1e-30) / a3
         u = self.sph.entropy / GAMMA_MINUS1 * rho_phys ** GAMMA_MINUS1
-        dt = jnp.full_like(u, dloga / hubble)
+        dt = jnp.broadcast_to(jnp.asarray(dloga, u.dtype) / hubble,
+                              u.shape)
         self.walltime.start("Cooling")
         u_new, ne = do_cooling(self._cooling, redshift, u, rho_phys,
                                dt, uvbg, self.sph.ne,
@@ -831,9 +867,14 @@ class Simulation:
             last_enrichment_myr=out["last_enrichment_myr"])
         self._star_hsml = out["star_hsml"]
 
-    def apply_cooling_sfr(self, dloga):
+    def apply_cooling_sfr(self, dloga, active=None):
         """cooling_and_starformation (sfr_eff.c:187): eEOS + spawning
-        for star-forming gas, plain cooling otherwise."""
+        for star-forming gas, plain cooling otherwise.
+
+        dloga may be per-particle (hierarchical stepping applies the
+        source terms to each closing bin over its own interval,
+        timestep.c:298 + run.c:374-520); ``active`` restricts the
+        update to the closing set."""
         from .physics import sfr as sfrmod
         from .physics.cooling import do_cooling
         if not hasattr(self, "_cooling"):
@@ -841,6 +882,8 @@ class Simulation:
         if not hasattr(self, "_sfr"):
             self._init_sfr()
         gas = self.gas_mask
+        if active is not None:
+            gas = gas & active
         atime = self.atime
         redshift = 1.0 / atime - 1.0
         hubble = self.CP.hubble_function(atime)
@@ -868,8 +911,12 @@ class Simulation:
             atime=atime, hubble=hubble, dloga=dloga, uvbg=uvbg,
             do_cooling_fn=cool_fn, min_egy_spec=self._min_egy_spec)
         self.walltime.stop("Cooling/SFR")
+        # keep the stored SFR of non-closing rows (out zeroes outside
+        # the update mask)
+        sfr_new = out["sfr"] if active is None else \
+            jnp.where(gas, out["sfr"], self.sph.sfr)
         self.sph = self.sph.replace(
-            entropy=out["entropy"], ne=out["ne"], sfr=out["sfr"],
+            entropy=out["entropy"], ne=out["ne"], sfr=sfr_new,
             metallicity=out["metallicity"])
         # subgrid winds kick the star-forming gas itself BEFORE
         # spawning (winds_make_after_sf); non-subgrid models (vs08,
@@ -930,7 +977,7 @@ class Simulation:
                     self._winds, self.sph.delay_time,
                     self.sph.density, dloga / hubble_now, atime))
         # sfr.txt (stats.c:75-168 analog)
-        total_sfr = float(jnp.sum(out["sfr"]))
+        total_sfr = float(jnp.sum(self.sph.sfr))
         with open(os.path.join(self.cfg.output_dir, "sfr.txt"),
                   "a") as fh:
             fh.write(f"{atime:g} {total_sfr:g} {nstar}\n")
@@ -1153,15 +1200,36 @@ class Simulation:
             ti += dti_s
             self.ti_current = ti
             closing = valid & ((jnp.int64(ti) & (dtib - 1)) == 0)
+            n_closing = int(jnp.sum(closing))
             if self.has_gas and self.cfg.hydro_on \
                     and self._gas_initialized:
                 dloga_s = self.timeline.dloga_from_dti(dti_s,
                                                        ti - dti_s)
                 self.compute_hydro(dloga_s, active=closing)
-            self._compute_tree_forces(active=closing)
+            self._compute_tree_forces(active=closing,
+                                      n_active=n_closing)
             self._bin_half_kick(closing, bins, ti, maxbin,
                                 opening=False)
-            self._force_evals += int(jnp.sum(closing))
+            self._force_evals += n_closing
+            # gas source terms per closing bin, each particle over its
+            # OWN interval (cooling_and_starformation on the active
+            # list, run.c:374-520 + timestep.c:298); BH and metal
+            # return stay at PM cadence (cheaper, see docstring)
+            if self.has_gas and self._gas_initialized and (
+                    self.cfg.starformation_on or self.cfg.cooling_on):
+                dlg1 = self.timeline.dloga_from_dti(1, ti)
+                dloga_pp = jnp.where(
+                    closing, dtib.astype(jnp.float32)
+                    * jnp.float32(dlg1), 0.0)
+                if self.cfg.starformation_on:
+                    self.apply_cooling_sfr(dloga_pp, active=closing)
+                    # spawning may have added stars: refresh the loop's
+                    # masks so new particles drift/kick this interval
+                    valid = self.pdata.valid
+                    bins = jnp.clip(self.pdata.timebin, 1, maxbin)
+                    dtib = (jnp.int64(1) << bins.astype(jnp.int64))
+                else:
+                    self.apply_cooling(dloga_pp, active=closing)
             # re-derive bins for particles closing their interval from
             # the fresh forces (timestep.c:298-503: bins move per
             # boundary, not per PM interval); a bin may shrink freely
@@ -1188,15 +1256,15 @@ class Simulation:
         # long-range force refresh + closing PM kick at the sync point
         self.compute_forces(tree=False)
         self._apply_pm_half_kick(mid, t_end)
-        # Strang-split source terms once per PM interval (run.c:586)
+        # cooling/SFR already ran per closing bin inside the loop; the
+        # remaining source terms are Strang-split once per PM interval
+        # (BH + metal return: their neighbor searches at substep
+        # cadence would dominate; the reference restricts them to
+        # active BHs/stars instead, blackhole.c:216)
         if self.has_gas and self._gas_initialized:
             dloga = self.timeline.dloga_from_dti(dti_pm, t0)
             if self.cfg.black_hole_on:
                 self.apply_blackholes(dloga)
-            if self.cfg.starformation_on:
-                self.apply_cooling_sfr(dloga)
-            elif self.cfg.cooling_on:
-                self.apply_cooling(dloga)
             if self.cfg.metal_return_on:
                 self.apply_metal_return(dloga)
         return n_sub
@@ -1446,33 +1514,40 @@ class Simulation:
 
         def mirror_to_host():
             """Compact valid rows into the Simulation arrays (outputs
-            and final state only — not per step)."""
-            v = np.asarray(state["valid"])
+            and final state only — not per step).  Multi-host: every
+            process allgathers the full state (fetch_global), so the
+            Simulation mirror — and any snapshot written from it — is
+            identical on every rank."""
+            from .parallel.mesh import fetch_global
+            v = fetch_global(state["valid"])
             order = np.argsort(~v, kind="stable")[:n]
-            oj = jnp.asarray(order)
+
+            def take(key):
+                return jnp.asarray(fetch_global(state[key])[order])
+
             upd = dict(
-                ipos=state["ipos"][oj], vel=state["vel"][oj],
-                mass=state["mass"][oj], valid=state["valid"][oj],
-                pid=state["pid"][oj], ptype=state["ptype"][oj],
-                grav_accel=state["grav_acc"][oj],
-                grav_pm=jnp.zeros_like(state["grav_acc"][oj]))
+                ipos=take("ipos"), vel=take("vel"),
+                mass=take("mass"), valid=take("valid"),
+                pid=take("pid"), ptype=take("ptype"),
+                grav_accel=take("grav_acc"))
+            upd["grav_pm"] = jnp.zeros_like(upd["grav_accel"])
             if with_gas:
-                upd["hsml"] = state["hsml"][oj]
-                upd["dt_hsml"] = state["dt_hsml"][oj]
+                upd["hsml"] = take("hsml")
+                upd["dt_hsml"] = take("dt_hsml")
             self.pdata = self.pdata.replace(**upd)
             if with_gas:
                 upd_sph = dict(
-                    entropy=state["entropy"][oj],
-                    dt_entropy=state["dtent"][oj],
-                    density=state["density"][oj],
-                    egy_wt_density=state["egywt"][oj],
-                    div_vel=state["divv"][oj],
-                    curl_vel=state["curlv"][oj],
-                    dhsml_egy_factor=state["dhsml_egy"][oj],
-                    hydro_accel=state["hydro_acc"][oj],
-                    max_signal_vel=state["maxsig"][oj])
+                    entropy=take("entropy"),
+                    dt_entropy=take("dtent"),
+                    density=take("density"),
+                    egy_wt_density=take("egywt"),
+                    div_vel=take("divv"),
+                    curl_vel=take("curlv"),
+                    dhsml_egy_factor=take("dhsml_egy"),
+                    hydro_accel=take("hydro_acc"),
+                    max_signal_vel=take("maxsig"))
                 if with_cooling:
-                    upd_sph["ne"] = state["ne"][oj]
+                    upd_sph["ne"] = take("ne")
                 self.sph = self.sph.replace(**upd_sph)
 
         nsteps = 0
@@ -1562,10 +1637,16 @@ class Simulation:
             sp = self.timeline.find_current_sync_point(self.ti_current)
             if sp is not None and sp.write_snapshot:
                 mirror_to_host()
-                self.write_snapshot()
+                # multi-host: the mirror is identical on every rank;
+                # rank 0 writes (NumWriters=1 policy, petaio.c:33-68)
+                if jax.process_index() == 0:
+                    self.write_snapshot()
                 if sp.write_fof or (self.cfg.snapshot_with_fof
                                     and sp.write_snapshot):
-                    cat = self.run_fof()
+                    # every rank computes the (identical) catalog and
+                    # seeds deterministically; rank 0 saves it
+                    cat = self.run_fof(
+                        save=(jax.process_index() == 0))
                     if self.cfg.black_hole_on:
                         self.seed_black_holes_from_fof(cat)
             if verbose:
