@@ -74,24 +74,19 @@ def balanced_boundaries(hist, n_shards):
     return b
 
 
-def exchange_to_slabs(arrays, ipos, valid, axis_name, log2_shards,
-                      bucket_cap, boundaries=None):
-    """Move rows to their owning x-slab shard (domain_exchange analog).
+def exchange_by_dest(arrays, dest, valid, axis_name, bucket_cap):
+    """Route rows to the shard named by ``dest`` (i32[n_loc], 0..S-1)
+    through ONE fixed-capacity ``lax.all_to_all`` per field — the core
+    of the alltoallv struct exchange (exchange.c:105-191) shared by the
+    domain exchange and the distributed sort.
 
-    arrays: pytree of row arrays (n_loc leading dim) — must include
-    ipos itself if it should travel.  Returns (arrays_out, valid_out,
-    overflow) with the same local capacity; rows beyond capacity or
-    per-bucket cap are flagged, not silently dropped.
-
-    boundaries: optional uint32[S] left edges for count-balanced
-    ownership; defaults to the fixed geometric split.
-    """
+    Returns (arrays_out, valid_out, overflow) with the same local
+    capacity; rows beyond capacity or per-bucket cap are flagged, not
+    silently dropped."""
     S = axis_size(axis_name)
     n_loc = valid.shape[0]
     E = bucket_cap
-    own = (owner_of(ipos, boundaries) if boundaries is not None
-           else slab_of(ipos, log2_shards))
-    dest = jnp.where(valid, own, 2 ** 30)
+    dest = jnp.where(valid, dest, 2 ** 30)
     perm = jnp.argsort(dest)                     # stable
     dest_s = dest[perm]
     iota = jnp.arange(n_loc, dtype=jnp.int32)
@@ -120,6 +115,21 @@ def exchange_to_slabs(arrays, ipos, valid, axis_name, log2_shards,
 
     arrays_out = jax.tree_util.tree_map(move, arrays)
     return arrays_out, valid_out, send_overflow | recv_overflow
+
+
+def exchange_to_slabs(arrays, ipos, valid, axis_name, log2_shards,
+                      bucket_cap, boundaries=None):
+    """Move rows to their owning x-slab shard (domain_exchange analog).
+
+    arrays: pytree of row arrays (n_loc leading dim) — must include
+    ipos itself if it should travel.
+
+    boundaries: optional uint32[S] left edges for count-balanced
+    ownership; defaults to the fixed geometric split.
+    """
+    own = (owner_of(ipos, boundaries) if boundaries is not None
+           else slab_of(ipos, log2_shards))
+    return exchange_by_dest(arrays, own, valid, axis_name, bucket_cap)
 
 
 def geometric_boundaries(log2_shards):

@@ -494,3 +494,42 @@ def test_run_sharded_gas_dm(mesh8, tmp_path):
     assert np.all(rho[gas & valid] > 0)
     hs = np.asarray(sim.pdata.hsml)
     assert np.all(hs[gas & valid] > 0)
+
+
+def test_sharded_sort_global_order(mesh8):
+    """mpsort analog (parallel/sort.py): a global key sort over the
+    mesh axis yields the globally sorted sequence with payload rows
+    still attached to their keys (fof.c / petaio.c ordering)."""
+    from mpgadget_tpu.parallel.sort import sharded_sort
+    rng = np.random.RandomState(3)
+    n_loc = 256
+    n = NDEV * n_loc
+    keys = rng.randint(0, 2 ** 62, size=n).astype(np.int64)
+    payload = np.arange(n, dtype=np.int64)          # original row id
+    valid = rng.rand(n) < 0.9                       # holes like GC'd rows
+
+    def body(k, p, v):
+        return sharded_sort(k, {"rid": p}, v, "x", bucket_cap=n_loc)
+
+    fn = jax.jit(shard_map(
+        body, mesh=mesh8, in_specs=(P("x"), P("x"), P("x")),
+        out_specs=(P("x"), {"rid": P("x")}, P("x"), P())))
+    k_out, arr_out, v_out, ovf = fn(
+        jnp.asarray(keys), jnp.asarray(payload), jnp.asarray(valid))
+    assert not bool(np.asarray(ovf))
+    k_out = np.asarray(k_out)
+    rid = np.asarray(arr_out["rid"])
+    v_out = np.asarray(v_out)
+    # valid rows compacted to the front of each shard, locally sorted,
+    # and shard-monotone: concatenation == the global sort
+    got = np.concatenate([
+        k_out[s * n_loc:(s + 1) * n_loc][
+            v_out[s * n_loc:(s + 1) * n_loc]]
+        for s in range(NDEV)])
+    np.testing.assert_array_equal(got, np.sort(keys[valid]))
+    # payload rode along: every valid row still carries its own key
+    sel = v_out
+    np.testing.assert_array_equal(k_out[sel], keys[rid[sel]])
+    # rough balance from the sampled splitters
+    per = v_out.reshape(NDEV, n_loc).sum(axis=1)
+    assert per.max() <= int(1.5 * valid.sum() / NDEV) + 16, per
