@@ -199,8 +199,22 @@ def traverse_fused(tree, tpos, center, half, aold, active,
         return jnp.stack(acc, axis=0), pot, leaves, nl, ovf
 
     # tpos in component-major (nb, 3, G) layout
-    return jax.vmap(walk)(jnp.swapaxes(tpos, 1, 2), center, half, aold,
-                          active)
+    args = (jnp.swapaxes(tpos, 1, 2), center, half, aold, active)
+    walk_v = jax.vmap(walk)
+    CW = cfg.walk_chunk
+    nb = tpos.shape[0]
+    if CW and nb > CW and nb % CW == 0:
+        # sequential chunks: a vmapped while_loop runs EVERY lane until
+        # the slowest block finishes, so one big vmap costs
+        # nb * max_steps; chunking costs sum_c CW * max_steps(c), and
+        # Morton-adjacent blocks do similar work, so each chunk max is
+        # close to its mean (the measured walk-lane imbalance fix).
+        resh = lambda a: a.reshape((nb // CW, CW) + a.shape[1:])
+        out = jax.lax.map(lambda xs: walk_v(*xs),
+                          tuple(map(resh, args)))
+        return jax.tree_util.tree_map(
+            lambda a: a.reshape((nb,) + a.shape[2:]), out)
+    return walk_v(*args)
 
 
 @partial(jax.jit, static_argnames=("nleaf_cap", "sr_cap", "sub"))

@@ -213,9 +213,10 @@ def init_distributed():
             num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
             process_id=int(os.environ["JAX_PROCESS_ID"]))
     jax.distributed.initialize(**kwargs)
-    print(f"[distributed] process {jax.process_index()} of "
-          f"{jax.process_count()}, {jax.local_device_count()} local / "
-          f"{jax.device_count()} global devices")
+    from mpgadget_tpu.utils.log import message
+    message(f"[distributed] process {jax.process_index()} of "
+            f"{jax.process_count()}, {jax.local_device_count()} local /"
+            f" {jax.device_count()} global devices", all_ranks=True)
     return True
 
 

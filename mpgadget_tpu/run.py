@@ -1388,8 +1388,19 @@ class Simulation:
 
         rcut_box = self.cfg.rcut * self.cfg.asmth / self.cfg.nmesh
         hist_bits = 12
-        bounds_np = (np.arange(S, dtype=np.uint64)
-                     * (2 ** 32 // S)).astype(np.uint32)
+        if rebalance:
+            # count-balanced initial boundaries from the host mirror
+            # (domain_decompose before the first step, domain.c:106) —
+            # a clustered restart would overflow geometric slabs
+            x_host = np.asarray(self.pdata.ipos[:, 0])
+            v_host = np.asarray(self.pdata.valid)
+            hist0 = np.bincount(
+                (x_host[v_host] >> np.uint32(32 - hist_bits)).astype(
+                    np.int64), minlength=1 << hist_bits)
+            bounds_np = balanced_boundaries(hist0, S)
+        else:
+            bounds_np = (np.arange(S, dtype=np.uint64)
+                         * (2 ** 32 // S)).astype(np.uint32)
         hmax_box = (float(jnp.max(jnp.where(
             self.gas_mask, self.pdata.hsml, 0.0))) / self.cfg.boxsize
             if with_gas else 0.0)
@@ -1567,7 +1578,8 @@ class Simulation:
                                          self.ti_current,
                                          self.ti_current)
             if dti <= 0:
-                raise RuntimeError(f"bad sharded timestep {dti}")
+                from .utils.log import endrun
+                endrun(1, f"bad sharded timestep {dti}")
             dti = min(dti, self.timeline.ti_end - self.ti_current)
             t0, t1 = self.ti_current, self.ti_current + dti
             mid = t0 + dti // 2
@@ -1603,11 +1615,21 @@ class Simulation:
                 if not fl.any():
                     break
                 if verbose:
-                    print(f"[sharded] overflow counts {fl.tolist()}; "
-                          "growing capacities and retrying")
+                    from .utils.log import message
+                    message(f"[sharded] overflow counts {fl.tolist()}; "
+                            "growing capacities and retrying")
                 if fl[0]:
                     bp["bucket_cap"] = min(2 * bp["bucket_cap"],
                                            n_local)
+                    if rebalance:
+                        # receive overflow (a clump outgrowing its
+                        # slab) is only fixable by moving boundaries:
+                        # rebalance from this attempt's histogram and
+                        # retry the same inputs (domain.c:31-56
+                        # escalating-policy analog)
+                        bounds_np = balanced_boundaries(
+                            np.asarray(stats["hist"]), S)
+                        bounds_dev = jnp.asarray(bounds_np)
                 if fl[1]:
                     bp["ghost_cap"] = min(2 * bp["ghost_cap"], n_local)
                 if fl[2]:
@@ -1622,9 +1644,9 @@ class Simulation:
                 if fl[6]:
                     bp["pm_extra"] += 1
             else:
-                raise RuntimeError(
-                    f"sharded step: capacity retries exhausted "
-                    f"(counts {fl.tolist()})")
+                from .utils.log import endrun
+                endrun(2, "sharded step: capacity retries exhausted "
+                       f"(counts {fl.tolist()})")
             state = new_state
             self.ti_current = t1
             nsteps += 1
@@ -1650,7 +1672,8 @@ class Simulation:
                     if self.cfg.black_hole_on:
                         self.seed_black_holes_from_fof(cat)
             if verbose:
-                print(f"[sharded step {nsteps}] a={self.atime:.5f} "
+                from .utils.log import message
+                message(f"[sharded step {nsteps}] a={self.atime:.5f} "
                       f"n={int(stats['n_valid'])}")
             if max_steps and nsteps >= max_steps:
                 break

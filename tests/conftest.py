@@ -12,6 +12,11 @@ import os
 # remote-TPU compile round-trip.  The axon sitecustomize imports jax at
 # interpreter start, so env vars alone are too late — use config.update.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Tests and every subprocess they spawn are CPU-only: disable the axon
+# sitecustomize TPU registration in children (it dials the tunnel at
+# interpreter start, which can block every spawned python when the
+# tunnel is wedged — and CPU children never need it).
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -145,3 +145,15 @@ def test_convert_from_gadget_1(tmp_path):
     np.testing.assert_allclose(u0, u, rtol=1e-6)
     i1 = bf.open("1/ID").read()
     np.testing.assert_array_equal(i1, ids[n0:])
+
+
+def test_log_message_and_endrun(capsys):
+    """Rank-gated logging + fatal endrun (endrun.c analog): single
+    process message prints, endrun raises."""
+    from mpgadget_tpu.utils.log import message, endrun
+    import pytest
+    message("hello %d", 42)
+    out = capsys.readouterr().out
+    assert "hello 42" in out
+    with pytest.raises(RuntimeError, match="boom"):
+        endrun(3, "boom %s", "x")

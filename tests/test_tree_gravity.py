@@ -156,3 +156,34 @@ def test_shortrange_window_cutoff():
     acc = np.asarray(tg.compute(pdata))
     # separation 700 > rcut = 4.5*1.5*1000/32 = 211 -> zero force
     assert np.all(np.abs(acc) < 1e-12)
+
+
+def test_chunked_walk_matches_single_vmap():
+    """walk_chunk (sequential block chunks bounding the vmapped
+    while_loop by the local max) is numerically identical to the
+    single vmapped walk."""
+    from dataclasses import replace
+    from mpgadget_tpu.gravity.treepm import TreeGravity, tree_force
+    rng = np.random.RandomState(11)
+    n = 4096
+    box = 10000.0
+    pos = rng.uniform(0, box, (n, 3))
+    pos[:256] = box / 2 + rng.randn(256, 3) * box * 0.01
+    ipos = jnp.asarray(
+        (np.mod(pos, box) / box * 2.0 ** 32).astype(np.uint32))
+    mass = jnp.full(n, 10.0, jnp.float32)
+    valid = jnp.ones(n, bool)
+    amag = jnp.zeros(n, jnp.float32)
+    tg = TreeGravity(boxsize=box, nmesh=32, softening=box / 300,
+                     tree_use_bh=0, with_potential=True)
+    kw = tg.force_kwargs(n)
+    r0 = tree_force(ipos, mass, valid, amag, **kw)
+    kw2 = dict(kw)
+    kw2["walk_cfg"] = replace(kw["walk_cfg"], walk_chunk=4)
+    r1 = tree_force(ipos, mass, valid, amag, **kw2)
+    np.testing.assert_allclose(np.asarray(r1.accel),
+                               np.asarray(r0.accel),
+                               rtol=1e-6, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(r1.potential),
+                               np.asarray(r0.potential),
+                               rtol=1e-6, atol=1e-12)
