@@ -103,11 +103,61 @@ def _entropy_update(entropy, dtent, dloga, density, min_egy_spec,
     return jnp.where(gas_mask, ent, entropy)
 
 
+def spawn_rows(st, gas, make_star, convert, star_mass, atime):
+    """Star spawning on the sharded state dict (spawn_stars semantics,
+    sfr.py:246: full conversions flip ptype in place, partial
+    conversions claim invalid LOCAL rows — slot allocation needs no
+    communication because every shard owns its free rows).
+
+    Returns (st, gas, n_spawned, overflow)."""
+    n = st["valid"].shape[0]
+    spawn = make_star & (~convert)
+    free = ~st["valid"]
+    free_idx_of_rank = jnp.argsort(~free, stable=True)
+    spawn_rank = jnp.cumsum(spawn.astype(jnp.int32)) - 1
+    nspawn = jnp.sum(spawn.astype(jnp.int32))
+    nfree = jnp.sum(free.astype(jnp.int32))
+    overflow = nspawn > nfree
+    dest = free_idx_of_rank[jnp.clip(spawn_rank, 0, n - 1)]
+    dest = jnp.where(spawn & (spawn_rank < nfree), dest, n)
+
+    def put(key, vals):
+        st[key] = st[key].at[dest].set(vals, mode="drop")
+
+    st["ptype"] = jnp.where(convert, 4, st["ptype"])
+    put("ptype", jnp.full(n, 4, st["ptype"].dtype))
+    for k in ("ipos", "vel", "hsml", "dt_hsml", "amag", "grav_acc",
+              "dtent", "density"):
+        if k in st:
+            put(k, st[k])
+    st["mass"] = jnp.where(spawn, st["mass"] - star_mass, st["mass"])
+    put("mass", star_mass)
+    put("pid", st["pid"] + jnp.asarray(2 ** 40, st["pid"].dtype))
+    put("valid", spawn)
+    put("gas_mask", jnp.zeros(n, bool))
+    st["gas_mask"] = st["gas_mask"] & (st["ptype"] == 0)
+    # star birth record (starslots init analog); converted rows keep
+    # their row, spawned rows land at dest
+    atime_f = jnp.float32(atime)
+
+    def fill(key, vals):
+        st[key] = jnp.where(convert, vals, st[key]).at[dest].set(
+            jnp.where(make_star, vals, 0.0), mode="drop")
+
+    fill("formation_time", jnp.where(make_star, atime_f, 0.0))
+    fill("birth_density", jnp.where(make_star, st["density"], 0.0))
+    fill("birth_metallicity",
+         jnp.where(make_star, st["metallicity"], 0.0))
+    gas = st["gas_mask"] & st["valid"]
+    return st, gas, nspawn, overflow
+
+
 def build_sharded_step(mesh, *, n_local, with_gas, hops_ghost, hops_pm,
                        bucket_cap, ghost_cap, tree_kwargs, dpar, hpar,
                        caps_d, caps_h, nmesh, boxsize, gconst, asmth,
                        rcut, min_egy_spec, strip_margin=1.6,
-                       hist_bits=12, cooling_fn=None):
+                       hist_bits=12, cooling_fn=None, sfr_fn=None,
+                       wind_fn=None):
     """Build the jitted production step.
 
     step(state, bounds, scal) -> (state', stats, flags) where
@@ -292,9 +342,34 @@ def build_sharded_step(mesh, *, n_local, with_gas, hops_ghost, hops_pm,
                 st["density"], min_egy_spec, scal["atime"], gas)
         st["vel"] = vel
 
-        # ---- Strang-split radiative cooling (cooling_direct path of
-        # cooling_and_starformation, sfr_eff.c:187) ----
-        if cooling_fn is not None:
+        # ---- Strang-split source terms ----
+        nspawn = jnp.int32(0)
+        spawn_ovf = jnp.bool_(False)
+        sfr_sum = jnp.float32(0.0)
+        if sfr_fn is not None:
+            # cooling + eEOS + stochastic star formation on the shard's
+            # rows (cooling_and_starformation, sfr_eff.c:187-330 —
+            # pure row math; per-ID RNG keeps draws deterministic
+            # under any domain split)
+            out = sfr_fn(st, gas, scal)
+            st["entropy"] = out["entropy"]
+            st["ne"] = out["ne"]
+            st["metallicity"] = out["metallicity"]
+            st["sfr"] = jnp.where(gas, out["sfr"], st["sfr"])
+            sfr_sum = lax.psum(jnp.sum(st["sfr"]), "x")
+            if wind_fn is not None:
+                # subgrid winds kick the star-forming gas itself before
+                # spawning (winds_make_after_sf, winds.c:454)
+                vel_w, ent_w, delay_w = wind_fn(st, out, scal)
+                st["vel"] = vel_w
+                st["entropy"] = ent_w
+                st["delay_time"] = delay_w
+            st, gas, nspawn, spawn_ovf = spawn_rows(
+                st, gas, out["make_star"], out["convert"],
+                out["star_mass"], scal["atime"])
+            nspawn = lax.psum(nspawn, "x")
+        elif cooling_fn is not None:
+            # cooling_direct path of cooling_and_starformation
             ent_new, ne_new = cooling_fn(
                 st["ipos"], st["entropy"], st["density"], st["ne"],
                 st["metallicity"], gas, scal)
@@ -302,6 +377,7 @@ def build_sharded_step(mesh, *, n_local, with_gas, hops_ghost, hops_pm,
             st["ne"] = jnp.where(gas, ne_new, st["ne"])
 
         # ---- psum'd timestep statistics ----
+        valid = st["valid"]          # spawning may have added rows
         v2 = jnp.sum(st["vel"] * st["vel"], axis=-1)
         w = valid.astype(jnp.float32)
         tid = jnp.where(valid, st["ptype"], 6)
@@ -333,10 +409,12 @@ def build_sharded_step(mesh, *, n_local, with_gas, hops_ghost, hops_pm,
             "min_h_over_dth": lax.pmin(jnp.min(h_over_dth), "x"),
             "hist": hist,
             "n_valid": lax.psum(jnp.sum(valid.astype(jnp.int32)), "x"),
+            "sfr_sum": sfr_sum,
+            "n_spawned": nspawn,
         }
         flags_vec = jnp.stack([
             x_ovf, g_ovf | g2_bad, res.overflow, dens_bad, hydro_bad,
-            strip_bad, pm_far]).astype(jnp.int32)
+            strip_bad, pm_far, spawn_ovf]).astype(jnp.int32)
         return st, stats, lax.psum(flags_vec, "x")
 
     state_keys = ["ipos", "vel", "mass", "valid", "pid", "ptype",
@@ -345,17 +423,22 @@ def build_sharded_step(mesh, *, n_local, with_gas, hops_ghost, hops_pm,
         state_keys += ["gas_mask", "hsml", "entropy", "dtent",
                        "density", "egywt", "divv", "curlv",
                        "dhsml_egy", "dt_hsml", "hydro_acc", "maxsig"]
-    if cooling_fn is not None:
+    if cooling_fn is not None or sfr_fn is not None:
         state_keys += ["ne", "metallicity"]
+    if sfr_fn is not None:
+        state_keys += ["sfr", "delay_time", "formation_time",
+                       "birth_density", "birth_metallicity"]
     in_state_spec = {k: P("x") for k in state_keys}
     stats_spec = {k: P() for k in
                   ("vsum", "count", "min_mass", "max_acc",
                    "min_h_over_sig", "min_h_over_dth", "hist",
-                   "n_valid", "hmax")}
+                   "n_valid", "hmax", "sfr_sum", "n_spawned")}
     scal_keys = ["dk1", "hk1", "dloga1", "ddrift", "dk2", "hk2",
                  "dloga2", "dloga_full", "atime", "hubble"]
-    if cooling_fn is not None:
+    if cooling_fn is not None or sfr_fn is not None:
         scal_keys += ["redshift", "uvbg"]
+    if sfr_fn is not None:
+        scal_keys += ["rng"]
     scal_spec = {k: P() for k in scal_keys}
     fn = shard_map(step_local, mesh=mesh,
                    in_specs=(in_state_spec, P(), scal_spec),

@@ -1284,24 +1284,32 @@ class Simulation:
         scale).  Boundaries are recomputed from the returned x
         histogram every step.
 
-        Not yet sharded: SFR/BH/winds/metal-return source terms (the
-        radiative layer); use the single-device loop for those
-        configs."""
+        Sharded source terms: radiative cooling, SFR/eEOS with
+        stochastic star spawning (per-ID RNG → domain-split
+        invariant draws) and subgrid fixed-efficiency winds.  Not yet
+        sharded: BH, metal return, and the neighbor-search wind models
+        (vs08/ofjt10); use the single-device loop for those configs."""
         from .parallel.driver import build_sharded_step
         from .parallel.decomp import balanced_boundaries
         from .parallel.mesh import shard_particles
         from .timeline import round_down_power_of_two
         from .utils.constants import GAMMA
 
+        from .physics import winds as windmod
         with_gas = bool(self.has_gas and self.cfg.hydro_on)
-        if with_gas and (self.cfg.starformation_on
-                         or self.cfg.black_hole_on
-                         or self.cfg.wind_on
-                         or self.cfg.metal_return_on):
+        with_sfr = bool(with_gas and self.cfg.starformation_on)
+        wind_sharded = bool(
+            with_sfr and self.cfg.wind_on
+            and (self.cfg.wind_model & windmod.WIND_SUBGRID)
+            and (self.cfg.wind_model & windmod.WIND_FIXED_EFFICIENCY))
+        if with_gas and (self.cfg.black_hole_on
+                         or self.cfg.metal_return_on
+                         or (self.cfg.wind_on and not wind_sharded)):
             raise ValueError(
-                "run_sharded covers gravity+SPH+cooling; SFR/BH/winds/"
-                "metal-return source terms are not sharded yet — use "
-                "the single-device run() for those configs")
+                "run_sharded covers gravity+SPH+cooling+SFR+subgrid "
+                "fixed-efficiency winds; BH/metal-return and "
+                "neighbor-search wind models (vs08/ofjt10) are not "
+                "sharded yet — use the single-device run() for those")
         if with_gas and not self._gas_initialized:
             if getattr(self, "_gas_restore", None):
                 self._restore_gas()
@@ -1337,7 +1345,7 @@ class Simulation:
             "grav_acc": pad(acc0),
         }
         with_cooling = bool(with_gas and self.cfg.cooling_on
-                            and not self.cfg.starformation_on)
+                            and not with_sfr)
         if with_gas:
             state.update(
                 gas_mask=pad(self.gas_mask, False),
@@ -1352,11 +1360,23 @@ class Simulation:
                 dt_hsml=pad(self.pdata.dt_hsml),
                 hydro_acc=pad(self.sph.hydro_accel),
                 maxsig=pad(self.sph.max_signal_vel))
-        if with_cooling:
+        if with_cooling or with_sfr:
             if not hasattr(self, "_cooling"):
                 self._init_cooling()
             state.update(ne=pad(self.sph.ne),
                          metallicity=pad(self.sph.metallicity))
+        if with_sfr:
+            if not hasattr(self, "_sfr"):
+                self._init_sfr()
+            from .physics.stars import StarData
+            if self.stars is None:
+                self.stars = StarData.zeros(self.pdata.capacity)
+            state.update(
+                sfr=pad(self.sph.sfr),
+                delay_time=pad(self.sph.delay_time),
+                formation_time=pad(self.stars.formation_time),
+                birth_density=pad(self.stars.birth_density),
+                birth_metallicity=pad(self.stars.metallicity))
         state = shard_particles(state, device_mesh, axis="x")
 
         cooling_fn = None
@@ -1385,6 +1405,60 @@ class Simulation:
                 ent_new = GAMMA_MINUS1 * u_new \
                     / rho_phys ** GAMMA_MINUS1
                 return ent_new, ne2
+
+        sfr_fn = None
+        wind_fn = None
+        if with_sfr:
+            from .physics import sfr as sfrmod
+            from .physics.cooling import do_cooling, UVBG, local_uvbg
+            sfr_par = self._sfr
+            cr = self._cooling
+            cu = self._cooling_units
+            uvf = getattr(self, "_uvf", None)
+            min_egy = float(self._min_egy_spec)
+
+            def sfr_fn(st, gas, scal):
+                redshift = scal["redshift"]
+                uv = UVBG(*[scal["uvbg"][i] for i in range(7)])
+                if uvf is not None:
+                    uv = local_uvbg(uv, uvf.zreion(st["ipos"]),
+                                    redshift)
+
+                def cool_fn(u, rho_phys, dt, ne, Z):
+                    return do_cooling(cr, redshift, u, rho_phys, dt,
+                                      uv, ne, Z, min_egy, cu)
+
+                return sfrmod.cooling_and_starformation(
+                    sfr_par, cr, cu, scal["rng"],
+                    density=st["density"], entropy=st["entropy"],
+                    ne=st["ne"], metallicity=st["metallicity"],
+                    delay_time=st["delay_time"], mass=st["mass"],
+                    pid=st["pid"], valid_gas=gas,
+                    redshift=redshift, atime=scal["atime"],
+                    hubble=scal["hubble"], dloga=scal["dloga_full"],
+                    uvbg=uv, do_cooling_fn=cool_fn,
+                    min_egy_spec=min_egy)
+
+            if wind_sharded:
+                wp = self._winds
+
+                def wind_fn(st, out, scal):
+                    wkey = jax.random.fold_in(scal["rng"], 77)
+                    zero_vdisp = jnp.zeros_like(st["mass"])
+                    vel_new, ent_new, delay_new, _ = \
+                        windmod.winds_subgrid(
+                            wp, wkey, sm=out["sm"], mass=st["mass"],
+                            pid=st["pid"], vdisp=zero_vdisp,
+                            vel=st["vel"], entropy=st["entropy"],
+                            density=st["density"],
+                            delay_time=st["delay_time"],
+                            eligible=out["on_eeqos"],
+                            atime=scal["atime"])
+                    delay_new = windmod.winds_decouple_update(
+                        wp, delay_new, st["density"],
+                        scal["dloga_full"] / scal["hubble"],
+                        scal["atime"])
+                    return vel_new, ent_new, delay_new
 
         rcut_box = self.cfg.rcut * self.cfg.asmth / self.cfg.nmesh
         hist_bits = 12
@@ -1476,7 +1550,8 @@ class Simulation:
                     min_egy_spec=float(getattr(self, "_min_egy_spec",
                                                0.0)),
                     strip_margin=bp["strip_margin"],
-                    hist_bits=hist_bits, cooling_fn=cooling_fn)[0]
+                    hist_bits=hist_bits, cooling_fn=cooling_fn,
+                    sfr_fn=sfr_fn, wind_fn=wind_fn)[0]
             return steps_cache[key]
 
         def dloga_from_stats(stats, atime):
@@ -1531,7 +1606,30 @@ class Simulation:
             identical on every rank."""
             from .parallel.mesh import fetch_global
             v = fetch_global(state["valid"])
-            order = np.argsort(~v, kind="stable")[:n]
+            n_valid_tot = int(v.sum())
+            cap_now = int(self.pdata.capacity)
+            m = max(cap_now,
+                    int(np.ceil(n_valid_tot / 256.0)) * 256)
+            if m > cap_now:
+                # star spawning grew the population past the host
+                # mirror capacity: grow it (PartAllocFactor headroom
+                # realized, partmanager.c:88)
+                grow = m - cap_now
+
+                def padf(a):
+                    return jnp.concatenate(
+                        [a, jnp.zeros((grow,) + a.shape[1:],
+                                      a.dtype)], axis=0)
+
+                self.pdata = jax.tree_util.tree_map(padf, self.pdata)
+                if self.sph is not None:
+                    self.sph = jax.tree_util.tree_map(padf, self.sph)
+                if self.stars is not None:
+                    self.stars = jax.tree_util.tree_map(padf,
+                                                        self.stars)
+                if getattr(self, "bh", None) is not None:
+                    self.bh = jax.tree_util.tree_map(padf, self.bh)
+            order = np.argsort(~v, kind="stable")[:m]
 
             def take(key):
                 return jnp.asarray(fetch_global(state[key])[order])
@@ -1557,9 +1655,18 @@ class Simulation:
                     dhsml_egy_factor=take("dhsml_egy"),
                     hydro_accel=take("hydro_acc"),
                     max_signal_vel=take("maxsig"))
-                if with_cooling:
+                if with_cooling or with_sfr:
                     upd_sph["ne"] = take("ne")
+                    upd_sph["metallicity"] = take("metallicity")
+                if with_sfr:
+                    upd_sph["sfr"] = take("sfr")
+                    upd_sph["delay_time"] = take("delay_time")
                 self.sph = self.sph.replace(**upd_sph)
+                if with_sfr:
+                    self.stars = self.stars.replace(
+                        formation_time=take("formation_time"),
+                        birth_density=take("birth_density"),
+                        metallicity=take("birth_metallicity"))
 
         nsteps = 0
         stats = None
@@ -1597,7 +1704,7 @@ class Simulation:
                 "atime": jnp.float32(a1),
                 "hubble": jnp.float32(self.CP.hubble_function(a1)),
             }
-            if with_cooling:
+            if with_cooling or with_sfr:
                 z1 = 1.0 / a1 - 1.0
                 uv = self._treecool.get_global_uvbg(z1)
                 scal["redshift"] = jnp.float32(z1)
@@ -1605,6 +1712,10 @@ class Simulation:
                     [uv.gJH0, uv.gJHe0, uv.gJHep, uv.epsH0,
                      uv.epsHe0, uv.epsHep, uv.self_shield_dens],
                     jnp.float32)
+            if with_sfr:
+                scal["rng"] = jax.random.PRNGKey(
+                    (self.cfg.random_seed + self.ti_current)
+                    % (2 ** 31))
             bounds_dev = jnp.asarray(bounds_np)
             for attempt in range(8):
                 step = get_step(bounds_np)
@@ -1643,6 +1754,13 @@ class Simulation:
                     hmax_box = max(hmax_box, hm)
                 if fl[6]:
                     bp["pm_extra"] += 1
+                if len(fl) > 7 and fl[7] and rebalance:
+                    # spawn overflow: a shard ran out of free rows;
+                    # rebalancing spreads its particles (and thus its
+                    # free slots) before the retry
+                    bounds_np = balanced_boundaries(
+                        np.asarray(stats["hist"]), S)
+                    bounds_dev = jnp.asarray(bounds_np)
             else:
                 from .utils.log import endrun
                 endrun(2, "sharded step: capacity retries exhausted "
@@ -1650,6 +1768,13 @@ class Simulation:
             state = new_state
             self.ti_current = t1
             nsteps += 1
+            if with_sfr and jax.process_index() == 0:
+                # sfr.txt from the psum'd totals (stats.c:75-168)
+                with open(os.path.join(self.cfg.output_dir,
+                                       "sfr.txt"), "a") as fh:
+                    fh.write(f"{self.atime:g} "
+                             f"{float(stats['sfr_sum']):g} "
+                             f"{int(stats['n_spawned'])}\n")
             hm = float(stats["hmax"]) / self.cfg.boxsize
             if hm > 0:
                 hmax_box = hm

@@ -569,3 +569,70 @@ def test_run_sharded_clustered_box(mesh8, tmp_path):
     valid = np.asarray(sim.pdata.valid)
     assert valid.sum() == n          # nothing lost to overflow
     assert np.isfinite(np.asarray(sim.pdata.vel)[valid]).all()
+
+
+def test_run_sharded_sfr_spawning(mesh8, tmp_path):
+    """Sharded SFR (sfr_eff.c:187-330 at scale): all-eEOS gas forms
+    stars inside the sharded step — mass is conserved through
+    spawning, star rows carry birth records, sfr.txt is written, and
+    per-ID RNG makes the draws domain-split invariant."""
+    from mpgadget_tpu.cosmology import Cosmology
+    from mpgadget_tpu.particles import ParticleData
+    from mpgadget_tpu.run import Simulation, SimConfig
+    from mpgadget_tpu.timeline import Timeline
+    from mpgadget_tpu.utils import get_unitsystem, constants as CC
+    import os
+
+    UN = get_unitsystem(CC.CM_PER_KPC, 1.989e43, 1e5)
+    rng = np.random.RandomState(13)
+    box = 2000.0
+    ng = 8
+    n_dm = ng ** 3
+    n_gas = ng ** 3
+    grid = (np.stack(np.meshgrid(*[np.arange(ng)] * 3),
+                     axis=-1).reshape(-1, 3) + 0.5) / ng * box
+    pos = np.concatenate([
+        grid + rng.uniform(-20, 20, (n_dm, 3)),
+        grid + 0.5 / ng * box * 0.5
+        + rng.uniform(-20, 20, (n_gas, 3))]) % box
+    ptype = np.concatenate([np.ones(n_dm, np.int32),
+                            np.zeros(n_gas, np.int32)])
+    mass = np.concatenate([np.full(n_dm, 5.0), np.full(n_gas, 1.0)])
+    pdata = ParticleData.from_numpy(
+        pos, np.zeros((len(pos), 3)), mass, ptype,
+        np.arange(len(pos)) + 1, box)
+    cp = Cosmology(Omega0=0.3, OmegaLambda=0.7, HubbleParam=0.7,
+                   OmegaBaryon=0.05, TimeBegin=0.1).init_units(UN)
+    timeline = Timeline([0.15], TimeIC=0.1, TimeMax=0.15)
+    cfg = SimConfig(boxsize=box, nmesh=16, output_dir=str(tmp_path),
+                    timeline=timeline, units=UN, hydro_on=True,
+                    tree_grav_on=True, asmth=1.0, rcut=1.0,
+                    density_kernel_type=1,
+                    random_particle_offset=0.0, cooling_on=True,
+                    starformation_on=True, crit_overdensity=0.0,
+                    crit_phys_density=1e-30, generations=2)
+    sim = Simulation(cp, pdata, cfg, time_ic=0.1)
+    mass0 = float(jnp.sum(jnp.where(sim.pdata.valid,
+                                    sim.pdata.mass, 0.0)))
+    nsteps = sim.run_sharded(mesh8, max_steps=3, verbose=False)
+    assert nsteps == 3
+    valid = np.asarray(sim.pdata.valid)
+    pt = np.asarray(sim.pdata.ptype)
+    # SFR ran: stored rates positive somewhere, sfr.txt written
+    assert float(jnp.sum(sim.sph.sfr)) > 0
+    lines = open(os.path.join(str(tmp_path),
+                              "sfr.txt")).read().splitlines()
+    assert len(lines) == 3
+    # mass conserved through conversions/spawning
+    mass1 = float(jnp.sum(jnp.where(sim.pdata.valid,
+                                    sim.pdata.mass, 0.0)))
+    np.testing.assert_allclose(mass1, mass0, rtol=1e-5)
+    stars = valid & (pt == 4)
+    if stars.any():
+        ft = np.asarray(sim.stars.formation_time)
+        bd = np.asarray(sim.stars.birth_density)
+        assert np.all(ft[stars] > 0)
+        assert np.all(bd[stars] > 0)
+    ent = np.asarray(sim.sph.entropy)
+    gas = valid & (pt == 0)
+    assert np.all(np.isfinite(ent[gas])) and np.all(ent[gas] > 0)

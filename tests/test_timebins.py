@@ -198,7 +198,7 @@ def _gas_sim(tmp_path, split=True, n=256, sfr_on=True, tree_on=False):
                     tree_grav_on=tree_on, split_gravity_timesteps=split,
                     random_particle_offset=0.0, cooling_on=True,
                     starformation_on=sfr_on, crit_overdensity=0.0,
-                    crit_phys_density=0.0)
+                    crit_phys_density=1e-30)
     sim = Simulation(cp, pdata, cfg, time_ic=0.1)
     sim.setup_gas()
     return sim
