@@ -127,9 +127,19 @@ def spawn_rows(st, gas, make_star, convert, star_mass, atime):
     st["ptype"] = jnp.where(convert, 4, st["ptype"])
     put("ptype", jnp.full(n, 4, st["ptype"].dtype))
     for k in ("ipos", "vel", "hsml", "dt_hsml", "amag", "grav_acc",
-              "dtent", "density"):
+              "dtent", "density", "metals"):
         if k in st:
             put(k, st[k])
+    if "star_hsml" in st:
+        # new stars keep the parent gas kernel as the initial metal-
+        # return search radius (stellarhsml seed, slotsmanager.c:105)
+        st["star_hsml"] = jnp.where(convert, st["hsml"],
+                                    st["star_hsml"])
+        put("star_hsml", st["hsml"])
+        zero = jnp.zeros(n, jnp.float32)
+        for k in ("total_mass_returned", "last_enrichment_myr"):
+            st[k] = jnp.where(convert, 0.0, st[k])
+            put(k, zero)
     st["mass"] = jnp.where(spawn, st["mass"] - star_mass, st["mass"])
     put("mass", star_mass)
     put("pid", st["pid"] + jnp.asarray(2 ** 40, st["pid"].dtype))
@@ -157,7 +167,7 @@ def build_sharded_step(mesh, *, n_local, with_gas, hops_ghost, hops_pm,
                        caps_d, caps_h, nmesh, boxsize, gconst, asmth,
                        rcut, min_egy_spec, strip_margin=1.6,
                        hist_bits=12, cooling_fn=None, sfr_fn=None,
-                       wind_fn=None):
+                       wind_fn=None, extra_state_keys=()):
     """Build the jitted production step.
 
     step(state, bounds, scal) -> (state', stats, flags) where
@@ -428,6 +438,7 @@ def build_sharded_step(mesh, *, n_local, with_gas, hops_ghost, hops_pm,
     if sfr_fn is not None:
         state_keys += ["sfr", "delay_time", "formation_time",
                        "birth_density", "birth_metallicity"]
+    state_keys += [k for k in extra_state_keys if k not in state_keys]
     in_state_spec = {k: P("x") for k in state_keys}
     stats_spec = {k: P() for k in
                   ("vsum", "count", "min_mass", "max_acc",

@@ -254,12 +254,17 @@ class MetalReturnParams:
 def metal_return_step(ipos, mass, hsml_gas, gas_rho, is_gas, is_star,
                       star_hsml, stars, sph_metals, atime0, atime1,
                       age_table, boxsize, params: MetalReturnParams,
-                      hubble_h=0.7):
+                      hubble_h=0.7, ll_static=None):
     """One metal-return step.  Returns dict with updated gas mass,
     gas metals, star mass, star bookkeeping fields, star hsml.
 
     All inputs aligned full-capacity arrays; masses internal units.
-    """
+
+    ll_static: when set, neighbor lists use this fixed capacity with
+    overflow surfaced in the result ("ngb_overflow") instead of the
+    host-side grow-and-retry — required when tracing under
+    jit/shard_map (parallel/metals.py), where the caller owns the
+    retry policy."""
     from ..ops import pairs
     from ..ops.morton import morton_key
     from ..gravity.tree import build_tree
@@ -284,6 +289,7 @@ def metal_return_step(ipos, mass, hsml_gas, gas_rho, is_gas, is_star,
         tree, pos_box, jnp.full(n, jnp.inf, jnp.float32), group_cap, G)
 
     inv_box = 1.0 / boxsize
+    ngb_ovf = jnp.asarray(False)
     is_gas_s = is_gas[perm]
     is_star_s = is_star[perm]
     mass_s = mass[perm]
@@ -342,10 +348,16 @@ def metal_return_step(ipos, mass, hsml_gas, gas_rho, is_gas, is_star,
                         tree.pcount[safe_nodes], 0)
         tm = offg[None, :] < tpc[:, None]
         gradius = jnp.max(jnp.where(tm, hsml_box[tidx], 0.0), axis=1)
-        nbr, _ = pairs.find_neighbors_auto(
-            tree, leaf_nodes, gc, gh, gradius, None,
-            params.leaf_list_max, symmetric=False,
-            cache_key=("metal_hsml", n))
+        if ll_static is not None:
+            nbr = pairs.find_neighbors(tree, leaf_nodes, gc, gh,
+                                       gradius, None, ll_static,
+                                       symmetric=False)
+            ngb_ovf = ngb_ovf | jnp.any(nbr.overflow)
+        else:
+            nbr, _ = pairs.find_neighbors_auto(
+                tree, leaf_nodes, gc, gh, gradius, None,
+                params.leaf_list_max, symmetric=False,
+                cache_key=("metal_hsml", n))
         out = pairs.pair_reduce(
             count_pair_fn, nbr, tree, pos_box,
             {"hsml": hsml_box},
@@ -366,7 +378,10 @@ def metal_return_step(ipos, mass, hsml_gas, gas_rho, is_gas, is_star,
         h_new = jnp.clip(h_new, 1e-6, 0.2)
         hsml_s = jnp.where(converged, hsml_s, h_new * boxsize)
         done = converged
-        if bool(jnp.all(done)):
+        # early exit is a host-side shortcut; under jit/shard_map
+        # (parallel/metals.py) all hsml_iter rounds are traced
+        if not isinstance(done, jax.core.Tracer) \
+                and bool(jnp.all(done)):
             break
 
     norm_s = jnp.maximum(out["norm"], 0.0)
@@ -398,11 +413,17 @@ def metal_return_step(ipos, mass, hsml_gas, gas_rho, is_gas, is_star,
 
     reducers = {"dmass": "sum"}
     reducers.update({f"dz{i}": "sum" for i in range(NMETALS)})
-    nbr2, _ = pairs.find_neighbors_auto(
-        tree, leaf_nodes, gc, gh,
-        jnp.zeros(gc.shape[0], jnp.float32), hmax,
-        params.leaf_list_max, symmetric=True,
-        cache_key=("metal_spread", n))
+    if ll_static is not None:
+        nbr2 = pairs.find_neighbors(tree, leaf_nodes, gc, gh,
+                                    jnp.zeros(gc.shape[0], jnp.float32),
+                                    hmax, ll_static, symmetric=True)
+        ngb_ovf = ngb_ovf | jnp.any(nbr2.overflow)
+    else:
+        nbr2, _ = pairs.find_neighbors_auto(
+            tree, leaf_nodes, gc, gh,
+            jnp.zeros(gc.shape[0], jnp.float32), hmax,
+            params.leaf_list_max, symmetric=True,
+            cache_key=("metal_spread", n))
     sp = pairs.pair_reduce(
         spread_pair_fn, nbr2, tree, pos_box,
         {"gmass": gmass_s, "grho": grho_s},
@@ -435,4 +456,5 @@ def metal_return_step(ipos, mass, hsml_gas, gas_rho, is_gas, is_star,
         "star_hsml": jnp.where(is_star_s, hsml_s, 0.0)[inv],
         "mass_returned_total": jnp.sum(returned),
         "mass_received_total": jnp.sum(dmass),
+        "ngb_overflow": ngb_ovf | govf,
     }

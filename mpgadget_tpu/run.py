@@ -1302,14 +1302,17 @@ class Simulation:
             with_sfr and self.cfg.wind_on
             and (self.cfg.wind_model & windmod.WIND_SUBGRID)
             and (self.cfg.wind_model & windmod.WIND_FIXED_EFFICIENCY))
+        with_metals = bool(with_gas and self.cfg.metal_return_on)
         if with_gas and (self.cfg.black_hole_on
-                         or self.cfg.metal_return_on
                          or (self.cfg.wind_on and not wind_sharded)):
             raise ValueError(
                 "run_sharded covers gravity+SPH+cooling+SFR+subgrid "
-                "fixed-efficiency winds; BH/metal-return and "
+                "fixed-efficiency winds+metal return; BH and "
                 "neighbor-search wind models (vs08/ofjt10) are not "
                 "sharded yet — use the single-device run() for those")
+        if with_metals and not with_sfr:
+            raise ValueError("sharded metal return requires "
+                             "StarformationOn (star slots)")
         if with_gas and not self._gas_initialized:
             if getattr(self, "_gas_restore", None):
                 self._restore_gas()
@@ -1377,6 +1380,31 @@ class Simulation:
                 formation_time=pad(self.stars.formation_time),
                 birth_density=pad(self.stars.birth_density),
                 birth_metallicity=pad(self.stars.metallicity))
+        if with_metals:
+            # one (N,9) species column serves both sides: gas rows
+            # hold the evolving gas metals, star rows the star's
+            # birth composition (metal_return.c NMETALS layout)
+            is_star0 = self.pdata.valid & (self.pdata.ptype == 4)
+            metals0 = jnp.where(is_star0[:, None], self.stars.metals,
+                                self.sph.metals)
+            npart0 = float(np.asarray(self.pdata.num_valid))
+            msep = self.cfg.boxsize / max(1.0, np.cbrt(npart0))
+            msep32 = jnp.float32(2.0 * msep)  # keep the column f32:
+            # a numpy-f64 scalar here promotes state['mass'] after the
+            # first return step and poisons the walk's packed rows
+            sh0 = getattr(self, "_star_hsml", None)
+            if sh0 is None:
+                sh0 = jnp.where(self.pdata.hsml > 0, self.pdata.hsml,
+                                msep32)
+            sh0 = jnp.where(is_star0, jnp.where(sh0 > 0, sh0, msep32),
+                            jnp.float32(0.0)).astype(jnp.float32)
+            state.update(
+                metals=pad(metals0),
+                star_hsml=pad(sh0),
+                total_mass_returned=pad(
+                    self.stars.total_mass_returned),
+                last_enrichment_myr=pad(
+                    self.stars.last_enrichment_myr))
         state = shard_particles(state, device_mesh, axis="x")
 
         cooling_fn = None
@@ -1551,8 +1579,41 @@ class Simulation:
                                                0.0)),
                     strip_margin=bp["strip_margin"],
                     hist_bits=hist_bits, cooling_fn=cooling_fn,
-                    sfr_fn=sfr_fn, wind_fn=wind_fn)[0]
+                    sfr_fn=sfr_fn, wind_fn=wind_fn,
+                    extra_state_keys=(
+                        ("metals", "star_hsml", "total_mass_returned",
+                         "last_enrichment_myr") if with_metals
+                        else ()))[0]
             return steps_cache[key]
+
+        metal_cache = {}
+
+        def get_metal_fn():
+            from .parallel.metals import build_sharded_metal_return
+            from .physics import metal_return as mrmod
+            if getattr(self, "_age_table", None) is None:
+                self._age_table = mrmod.AgeTable(
+                    self.CP.hubble_function, self.cfg.units,
+                    self.CP.HubbleParam)
+                self._mr_params = mrmod.MetalReturnParams(
+                    sn1a_n0=self.cfg.metals_sn1a_n0,
+                    sph_weighting=self.cfg.metals_sph_weighting,
+                    max_ngb_deviation=self.cfg
+                    .metals_max_ngb_deviation)
+            # strips carry 2x the max star kernel (parallel/metals.py)
+            w1 = max(rcut_box, 2.0 * hmax_box * bp["strip_margin"])
+            hops_g = hops_for(bounds_np, w1)
+            key = (hops_g, bp["ghost_cap"],
+                   round(bp["strip_margin"], 3))
+            if key not in metal_cache:
+                metal_cache[key] = build_sharded_metal_return(
+                    device_mesh, n_local=n_local,
+                    ghost_cap=bp["ghost_cap"], hops=hops_g,
+                    age_table=self._age_table,
+                    params=self._mr_params,
+                    boxsize=self.cfg.boxsize,
+                    margin=bp["strip_margin"])
+            return metal_cache[key]
 
         def dloga_from_stats(stats, atime):
             """The host timestep policy from psum'd statistics
@@ -1667,6 +1728,20 @@ class Simulation:
                         formation_time=take("formation_time"),
                         birth_density=take("birth_density"),
                         metallicity=take("birth_metallicity"))
+                if with_metals:
+                    met = take("metals")
+                    is_star_m = (take("ptype") == 4) & take("valid")
+                    self.sph = self.sph.replace(
+                        metals=jnp.where(is_star_m[:, None],
+                                         self.sph.metals, met))
+                    self.stars = self.stars.replace(
+                        metals=jnp.where(is_star_m[:, None], met,
+                                         self.stars.metals),
+                        total_mass_returned=take(
+                            "total_mass_returned"),
+                        last_enrichment_myr=take(
+                            "last_enrichment_myr"))
+                    self._star_hsml = take("star_hsml")
 
         nsteps = 0
         stats = None
@@ -1768,6 +1843,47 @@ class Simulation:
             state = new_state
             self.ti_current = t1
             nsteps += 1
+            if with_metals:
+                # Strang-split stellar return at step cadence
+                # (metal_return.c:423 via parallel/metals.py)
+                a0m = float(np.exp(loga(t0)))
+                sub_keys = ("ipos", "mass", "hsml", "density",
+                            "metals", "birth_metallicity",
+                            "formation_time", "total_mass_returned",
+                            "last_enrichment_myr", "star_hsml")
+                for m_try in range(4):
+                    sub = {k: state[k] for k in sub_keys}
+                    sub["gas_mask"] = state["gas_mask"] \
+                        & state["valid"]
+                    sub["star_mask"] = state["valid"] \
+                        & (state["ptype"] == 4)
+                    m_upd, m_fl = get_metal_fn()(
+                        sub, bounds_dev, jnp.float32(a0m),
+                        jnp.float32(a1))
+                    if not (int(m_fl["ghost"])
+                            or int(m_fl["strip"])):
+                        state.update(
+                            {k: m_upd[k] for k in
+                             ("mass", "metals", "star_hsml",
+                              "total_mass_returned",
+                              "last_enrichment_myr")})
+                        # keep the scalar metallicity in sync with
+                        # the species column (sfr_eff.c convention:
+                        # Z = sum of species beyond H/He)
+                        state["metallicity"] = jnp.where(
+                            sub["gas_mask"],
+                            jnp.sum(m_upd["metals"][:, 2:], axis=1),
+                            state["metallicity"])
+                        break
+                    if int(m_fl["ghost"]):
+                        bp["ghost_cap"] = min(2 * bp["ghost_cap"],
+                                              n_local)
+                    if int(m_fl["strip"]):
+                        bp["strip_margin"] *= 1.5
+                else:
+                    from .utils.log import endrun
+                    endrun(3, "sharded metal return: retries "
+                           "exhausted")
             if with_sfr and jax.process_index() == 0:
                 # sfr.txt from the psum'd totals (stats.c:75-168)
                 with open(os.path.join(self.cfg.output_dir,

@@ -25,3 +25,14 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: the suite compiles hundreds of
+# programs; caching them across test processes/runs cuts wall time
+# and the in-process compiler pressure (one long-lived CPU process
+# has been observed to segfault in backend_compile late in the run).
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("MPG_JAX_CACHE",
+                                     "/tmp/mpg_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+except Exception:
+    pass

@@ -610,7 +610,8 @@ def test_run_sharded_sfr_spawning(mesh8, tmp_path):
                     density_kernel_type=1,
                     random_particle_offset=0.0, cooling_on=True,
                     starformation_on=True, crit_overdensity=0.0,
-                    crit_phys_density=1e-30, generations=2)
+                    crit_phys_density=1e-30, generations=2,
+                    metal_return_on=True)
     sim = Simulation(cp, pdata, cfg, time_ic=0.1)
     mass0 = float(jnp.sum(jnp.where(sim.pdata.valid,
                                     sim.pdata.mass, 0.0)))
@@ -636,3 +637,117 @@ def test_run_sharded_sfr_spawning(mesh8, tmp_path):
     ent = np.asarray(sim.sph.entropy)
     gas = valid & (pt == 0)
     assert np.all(np.isfinite(ent[gas])) and np.all(ent[gas] > 0)
+    # sharded metal return ran each step: species stay finite and the
+    # gas composition remains normalized-ish (H+He+Z ~ mass fractions)
+    met = np.asarray(sim.sph.metals)[gas]
+    assert np.all(np.isfinite(met))
+    assert np.all(met >= 0)
+
+
+def test_sharded_metal_return_matches_single(mesh8, tmp_path):
+    """parallel/metals.py == the single-chip metal_return_step on the
+    same box: the gather-formulated spread with 2x-hsml strips is
+    exact, so per-row gas mass/metals and star bookkeeping agree
+    (metal_return.c:423-500 at scale)."""
+    from mpgadget_tpu.physics import metal_return as mrmod
+    from mpgadget_tpu.physics.stars import StarData
+    from mpgadget_tpu.parallel.metals import build_sharded_metal_return
+    from mpgadget_tpu.cosmology import Cosmology
+    from mpgadget_tpu.utils import get_unitsystem, constants as CC
+
+    UN = get_unitsystem(CC.CM_PER_KPC, 1.989e43, 1e5)
+    cp = Cosmology(Omega0=0.3, OmegaLambda=0.7, HubbleParam=0.7,
+                   TimeBegin=0.1).init_units(UN)
+    age = mrmod.AgeTable(cp.hubble_function, UN, 0.7)
+    params = mrmod.MetalReturnParams()
+    box = 1000.0
+    rng = np.random.RandomState(7)
+    n = 512
+    n_star = 64
+    pos = rng.uniform(0, box, (n, 3))
+    ipos = (pos / box * 2.0 ** 32).astype(np.uint32)
+    is_star = np.zeros(n, bool)
+    is_star[:n_star] = True
+    is_gas = ~is_star
+    mass = np.where(is_star, 2.0, 1.0).astype(np.float32)
+    mean_sep = box / np.cbrt(n)
+    hsml = np.where(is_gas, 2.0 * mean_sep, 0.0).astype(np.float32)
+    star_h = np.where(is_star, 2.0 * mean_sep, 0.0).astype(np.float32)
+    density = np.where(is_gas, 1e-8, 0.0).astype(np.float32)
+    metals = np.zeros((n, 9), np.float32)
+    metals[:, 0] = 0.75
+    metals[:, 1] = 0.24
+    metals[:, 4] = 0.01
+    stars = StarData.zeros(n).replace(
+        formation_time=jnp.where(jnp.asarray(is_star), 0.11, 0.0),
+        metallicity=jnp.where(jnp.asarray(is_star), 0.02, 0.0),
+        metals=jnp.asarray(metals))
+
+    ref = mrmod.metal_return_step(
+        jnp.asarray(ipos), jnp.asarray(mass), jnp.asarray(hsml),
+        jnp.asarray(density), jnp.asarray(is_gas),
+        jnp.asarray(is_star), jnp.asarray(star_h), stars,
+        jnp.asarray(metals), 0.5, 0.6, age, box, params)
+    assert float(ref["mass_returned_total"]) > 0
+
+    # distribute rows to their x-slab owners (geometric bounds)
+    S = NDEV
+    n_local = 128
+    owner = ipos[:, 0] >> np.uint32(32 - 3)
+    cap = S * n_local
+    fields = dict(
+        ipos=np.zeros((cap, 3), np.uint32),
+        mass=np.zeros(cap, np.float32),
+        hsml=np.zeros(cap, np.float32),
+        density=np.zeros(cap, np.float32),
+        gas_mask=np.zeros(cap, bool),
+        star_mask=np.zeros(cap, bool),
+        star_hsml=np.zeros(cap, np.float32),
+        metals=np.zeros((cap, 9), np.float32),
+        birth_metallicity=np.zeros(cap, np.float32),
+        formation_time=np.zeros(cap, np.float32),
+        total_mass_returned=np.zeros(cap, np.float32),
+        last_enrichment_myr=np.zeros(cap, np.float32))
+    src_of = np.full(cap, -1)
+    for s in range(S):
+        rows = np.where(owner == s)[0]
+        assert len(rows) <= n_local
+        sl = slice(s * n_local, s * n_local + len(rows))
+        src_of[sl] = rows
+        fields["ipos"][sl] = ipos[rows]
+        fields["mass"][sl] = mass[rows]
+        fields["hsml"][sl] = hsml[rows]
+        fields["density"][sl] = density[rows]
+        fields["gas_mask"][sl] = is_gas[rows]
+        fields["star_mask"][sl] = is_star[rows]
+        fields["star_hsml"][sl] = star_h[rows]
+        fields["metals"][sl] = metals[rows]
+        fields["birth_metallicity"][sl] = np.where(is_star[rows],
+                                                   0.02, 0.0)
+        fields["formation_time"][sl] = np.where(is_star[rows],
+                                                0.11, 0.0)
+    st = {k: jnp.asarray(v) for k, v in fields.items()}
+    bounds = (np.arange(S, dtype=np.uint64)
+              * (2 ** 32 // S)).astype(np.uint32)
+    fn = build_sharded_metal_return(
+        mesh8, n_local=n_local, ghost_cap=n_local, hops=4,
+        age_table=age, params=params, boxsize=box)
+    upd, fl = fn(st, jnp.asarray(bounds), jnp.float32(0.5),
+                 jnp.float32(0.6))
+    assert int(fl["ghost"]) == 0 and int(fl["strip"]) == 0
+    np.testing.assert_allclose(float(fl["returned"]),
+                               float(ref["mass_returned_total"]),
+                               rtol=1e-5)
+    placed = src_of >= 0
+    src = src_of[placed]
+    for key, refkey in (("mass", None), ("metals", "gas_metals"),
+                        ("star_hsml", "star_hsml"),
+                        ("total_mass_returned", "total_mass_returned")):
+        got = np.asarray(upd[key])[placed]
+        if key == "mass":
+            want = np.where(is_gas, np.asarray(ref["gas_mass"]),
+                            np.asarray(ref["star_mass"]))[src]
+        else:
+            want = np.asarray(ref[refkey])[src]
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-7,
+                                   err_msg=key)

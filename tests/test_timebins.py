@@ -187,7 +187,8 @@ def _gas_sim(tmp_path, split=True, n=256, sfr_on=True, tree_on=False):
     pos = rng.uniform(0, box, (n, 3))
     pdata = ParticleData.from_numpy(
         pos, np.zeros((n, 3)), np.full(n, 10.0),
-        np.zeros(n, np.int32), np.arange(n) + 1, box)
+        np.zeros(n, np.int32), np.arange(n) + 1, box,
+        capacity=2 * n)
     cp = Cosmology(Omega0=0.3, OmegaLambda=0.7, HubbleParam=0.7,
                    TimeBegin=0.1).init_units(UNITS)
     timeline = Timeline([0.2], TimeIC=0.1, TimeMax=0.2)
@@ -213,7 +214,9 @@ def test_per_bin_source_terms_masked(tmp_path):
     sim = _gas_sim(tmp_path, sfr_on=True)
     cap = int(sim.pdata.capacity)
     sph0, pdata0, stars0 = sim.sph, sim.pdata, sim.stars
-    dloga = 1e-3
+    # small enough that stochastic spawning stays well under the
+    # capacity headroom, large enough that the eEOS relaxes
+    dloga = 1e-5
 
     # global reference call
     sim.apply_cooling_sfr(dloga)
