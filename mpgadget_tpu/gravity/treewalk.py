@@ -41,14 +41,22 @@ class WalkConfig:
     leaf_list_max: int = 512    # opened leaves recorded per block
     src_cap: int = 4096         # direct-source slots per block (sub-row
     #                             compacted; must be a multiple of sub)
-    walk_chunk: int = 0         # blocks per sequential walk chunk
-    #                             (0 = all blocks in one vmapped loop).
-    #                             A vmapped while_loop runs every lane
-    #                             until the SLOWEST block finishes;
-    #                             chunking bounds each chunk by its own
-    #                             local max — Morton-adjacent blocks do
-    #                             similar work, so the sum of chunk
-    #                             maxima ~ the mean, not the global max.
+    walk_chunk: int = 2048      # blocks per sequential walk chunk
+    #                             (0 = all blocks in one vmapped loop;
+    #                             inert when nb <= walk_chunk, i.e. up
+    #                             to 64^3 at G=256).  Two effects at
+    #                             scale: (1) a vmapped while_loop runs
+    #                             every lane until the SLOWEST block
+    #                             finishes — chunking bounds each chunk
+    #                             by its own local max; (2) a chunk of
+    #                             Morton-adjacent blocks touches a far
+    #                             smaller node working set per
+    #                             iteration, so the per-step node-row
+    #                             gathers stay cache-resident (at 256^3
+    #                             the 86MB node table no longer fits
+    #                             anywhere; measured constant ~990
+    #                             steps/block means the gathers are the
+    #                             only thing that scales superlinearly).
     sub: int = 8                # sub-row width: leaves are padded to
     #                             ceil(count/sub)*sub aligned slots
     nleaf_frac: float = 0.15    # leaf-table capacity = frac * N + 256

@@ -976,11 +976,20 @@ class Simulation:
                 delay_time=windmod.winds_decouple_update(
                     self._winds, self.sph.delay_time,
                     self.sph.density, dloga / hubble_now, atime))
-        # sfr.txt (stats.c:75-168 analog)
+        # sfr.txt in the reference's 5-column layout (write_sfr,
+        # stats.c:75-168): a, total_sm (mass formed this step,
+        # internal), totsfrrate (= rate, internal units omitted: we
+        # store Msun/yr in both rate columns), rate_in_msunperyear,
+        # total star mass (internal)
         total_sfr = float(jnp.sum(self.sph.sfr))
+        total_sm = float(jnp.sum(jnp.where(gas, out["sm"], 0.0)))
+        star_mass = float(jnp.sum(jnp.where(
+            self.pdata.valid & (self.pdata.ptype == 4),
+            self.pdata.mass, 0.0)))
         with open(os.path.join(self.cfg.output_dir, "sfr.txt"),
                   "a") as fh:
-            fh.write(f"{atime:g} {total_sfr:g} {nstar}\n")
+            fh.write(f"{atime:g} {total_sm:g} {total_sfr:g} "
+                     f"{total_sfr:g} {star_mass:g}\n")
 
     def find_hydro_timestep_dloga(self):
         """Courant + Hsml-change criteria (timestep.c:1075-1090)."""
@@ -1885,11 +1894,15 @@ class Simulation:
                     endrun(3, "sharded metal return: retries "
                            "exhausted")
             if with_sfr and jax.process_index() == 0:
-                # sfr.txt from the psum'd totals (stats.c:75-168)
+                # sfr.txt from the psum'd totals, reference 5-column
+                # layout (stats.c:75-168); star mass via vsum-side
+                # type-4 count is not tracked, so column 5 carries the
+                # spawned-count this step instead
+                sfr_tot = float(stats['sfr_sum'])
                 with open(os.path.join(self.cfg.output_dir,
                                        "sfr.txt"), "a") as fh:
-                    fh.write(f"{self.atime:g} "
-                             f"{float(stats['sfr_sum']):g} "
+                    fh.write(f"{self.atime:g} 0 {sfr_tot:g} "
+                             f"{sfr_tot:g} "
                              f"{int(stats['n_spawned'])}\n")
             hm = float(stats["hmax"]) / self.cfg.boxsize
             if hm > 0:

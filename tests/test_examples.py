@@ -174,9 +174,21 @@ def test_star_small_cli_end_to_end(tmp_path):
                             f"InitCondFile = {tmp_path}/IC/IC")
     gadget = gadget.replace("OutputDir = output",
                             f"OutputDir = {tmp_path}/output")
-    gadget = gadget.replace("OutputList = 0.125,0.15,0.2",
-                            "OutputList = 0.125,0.15")
-    gadget = gadget.replace("TimeMax = 0.2", "TimeMax = 0.15")
+    full = os.environ.get("MPG_FULL_EXAMPLES", "") == "1"
+    if not full:
+        gadget = gadget.replace("OutputList = 0.125,0.15,0.2",
+                                "OutputList = 0.125,0.15")
+        gadget = gadget.replace("TimeMax = 0.2", "TimeMax = 0.15")
+        # a 12^3 box to a=0.15 peaks at ~8x mean overdensity — both
+        # production thresholds (CritOverDensity 57.7 AND the
+        # self-consistent PhysDensThresh ~ 0.1 protons/cm^3, i.e.
+        # overdensity ~2000 at z=5.7) are unreachable at this reduced
+        # resolution (measured both pre- and post-round-3, so this is
+        # inherent, not a regression).  Lower both so the reduced
+        # smoke actually drives the SFR/spawning/wind pipeline
+        # end-to-end; MPG_FULL_EXAMPLES=1 runs the example as shipped.
+        gadget += ("\nCritOverDensity = 2.0\n"
+                   "CritPhysDensity = 1e-9\n")
     gad.write_text(gadget)
 
     env = dict(os.environ)
