@@ -107,7 +107,13 @@ def main():
     from mpgadget_tpu.particles import ParticleData
 
     import os
-    ngrid = int(os.environ.get("BENCH_NGRID", 64))
+    # default geometry: 128^3 = 2.1M particles on a 256^3 mesh — the
+    # largest point whose whole KDK step fits one fused graph; the
+    # round-3 on-chip sweep measured (v5e):
+    #   64^3  1.43M psteps/s (2.56x baseline)
+    #   128^3 1.14M psteps/s (2.04x)
+    #   256^3 0.88M psteps/s (1.58x, split tree/PM dispatch)
+    ngrid = int(os.environ.get("BENCH_NGRID", 128))
     nmesh = 2 * ngrid
     boxsize = 50000.0 * ngrid / 64
     n = ngrid ** 3

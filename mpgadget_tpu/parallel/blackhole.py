@@ -1,0 +1,433 @@
+"""Sharded black holes (blackhole.c:216-360 at scale).
+
+TPU-native design: black holes are FEW (tens to thousands) while gas
+rows are many, so instead of routing BH neighbor searches through the
+slab ghost-strip machinery (whose width would have to track every BH's
+kernel), every shard packs its local BHs into a fixed-capacity slot
+array and ``lax.all_gather``s it — a tiny replicated payload.  Each
+shard then evaluates dense local-rows x global-BH kernel interactions
+(chunked over rows so the [chunk, G] broadcast stays VMEM-sized), and
+per-BH reductions are ``lax.psum``'d.  This is the analog of the
+reference's BH treewalk exports reaching any rank (treewalk.c:325)
+with exact, capacity-free support: a BH's kernel may span the whole
+box and every shard still contributes.
+
+Covered here, matching the single-device ``Simulation.
+apply_blackholes`` (blackhole.c:216-360):
+  - accretion neighbor sums (rho, smoothed entropy, gas velocity,
+    feedback weight, enclosed gas mass)   [blackhole_accretion_ngbiter]
+  - Bondi-Hoyle rate + Eddington cap      [blackhole.c:373-414]
+  - dynamical friction environment sums + Chandrasekhar accel
+                                          [bhdynfric.c:84-270]
+  - DM velocity dispersion per BH radius  [veldisp.c:60-76]
+  - kinetic-channel bookkeeping           [blackhole.c:437-467]
+  - stochastic gas swallowing + thermal / kinetic feedback
+                                          [blackhole.c:577-614,843-880]
+  - swallowed mass/momentum accounting through Mtrack
+                                          [blackhole.c:960-978]
+  - BH-BH mergers with the grav-bound check, replicated on the global
+    slot list (greedy big-ID-claims-first, identical to the
+    single-device ``bh_mergers``)         [blackhole.c:495-560]
+
+Not sharded: min-potential repositioning (needs the potential column,
+which the sharded driver does not carry) and FOF seeding (runs at
+sync points from the host mirror).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from ..utils import constants as C
+from ..physics.blackhole import (BHParams, bondi_accretion,
+                                 dynfric_accel, kinetic_update,
+                                 apply_mtrack_accretion)
+from ..physics.sfr import _id_uniform
+from ..sph import kernels as K
+
+
+def _tree_add(a, b):
+    return jax.tree_util.tree_map(lambda x, y: x + y, a, b)
+
+
+def build_sharded_bh(mesh, *, n_local, nbh_cap, par: BHParams,
+                     boxsize, gconst, unit_time_in_s, hubble_param,
+                     unit_velocity, uu_in_cgs, rho_crit_baryon,
+                     kernel_type=2, chunk=2048):
+    """Build the jitted sharded BH step.
+
+    fn(st, scal) -> (upd dict P('x'), stats replicated) where st holds
+    {ipos, vel, mass, valid, pid, ptype, hsml, entropy, density,
+    gas_mask, grav_acc, bh_mass, bh_mdot, bh_density, bh_mtrack,
+    bh_progs, bh_ke, bh_vdisp} and scal holds replicated
+    {atime, dtime, rng_bh (uint32[2] key), bh_soft}.
+
+    ``nbh_cap`` is the per-shard BH slot capacity; the replicated BH
+    list has G = n_shards * nbh_cap rows.  Overflow (more local BHs
+    than slots) sets stats["ovf"]; the caller doubles nbh_cap and
+    rebuilds (the treewalk retry policy).
+    """
+    S = int(mesh.devices.size)
+    G = S * nbh_cap
+    L = float(boxsize)
+    ck = chunk
+    while n_local % ck:
+        ck //= 2
+    n_chunks = n_local // ck
+
+    def local(st, scal):
+        valid = st["valid"]
+        gas = st["gas_mask"] & valid
+        ptype = st["ptype"]
+        is_bh = valid & (ptype == 5)
+        s_idx = lax.axis_index("x")
+        rows = jnp.arange(n_local, dtype=jnp.int32)
+
+        # ---- pack local BHs into slots and replicate ----
+        order = jnp.argsort(jnp.where(is_bh, rows, n_local))[:nbh_cap]
+        slot_ok = is_bh[order]
+        ovf = jnp.sum(is_bh.astype(jnp.int32)) > nbh_cap
+
+        def gat(a, fill=0):
+            packed = jnp.where(
+                slot_ok.reshape((nbh_cap,) + (1,) * (a.ndim - 1)),
+                a[order], jnp.asarray(fill, a.dtype))
+            g = lax.all_gather(packed, "x")
+            return g.reshape((G,) + a.shape[1:])
+
+        ok_g = gat(slot_ok.astype(jnp.int32)) > 0
+        ipos_g = gat(st["ipos"])
+        vel_g = gat(st["vel"])
+        mass_g = gat(st["mass"])
+        hsml_g = jnp.where(ok_g, gat(st["hsml"]), 0.0)
+        bhm_g = gat(st["bh_mass"])
+        mtrack_g = gat(st["bh_mtrack"])
+        pid_g = gat(st["pid"])
+        acc_g = gat(st["grav_acc"])
+        ke_g0 = gat(st["bh_ke"])
+        progs_g = gat(st["bh_progs"])
+
+        # source-row masks for the three accumulation families
+        dfsrc = valid & (ptype == 4)
+        if par.dynfric_method > 1:
+            dfsrc = dfsrc | (valid & (ptype == 1))
+        if par.dynfric_method > 2:
+            dfsrc = dfsrc | gas
+        is_dm = valid & (ptype == 1)
+
+        hinv_g = 1.0 / jnp.maximum(hsml_g, 1e-30)
+
+        def row_chunks(*arrays):
+            return tuple(a.reshape((n_chunks, ck) + a.shape[1:])
+                         for a in arrays)
+
+        def pair_geom(ipos_c):
+            """Minimum-image distances chunk-rows x all BHs, exact in
+            fixed point: u32 difference -> int32 -> box units."""
+            d = (ipos_c[:, None, :] - ipos_g[None, :, :]).astype(
+                jnp.int32).astype(jnp.float32) * jnp.float32(2.0 ** -32)
+            r = jnp.sqrt(jnp.sum(d * d, axis=-1)) * jnp.float32(L)
+            return d, r
+
+        # ---- pass A: per-BH environment sums ----
+        def sums_chunk(args):
+            ipos_c, m_c, v_c, ent_c, gas_c, df_c, dm_c = args
+            _, r = pair_geom(ipos_c)
+            inside = (r < hsml_g[None, :]) & ok_g[None, :]
+            wk = jnp.where(inside,
+                           K.kernel_wk(r * hinv_g[None, :],
+                                       hinv_g[None, :], kernel_type),
+                           0.0)
+            mwk = m_c[:, None] * wk
+            gw = gas_c.astype(jnp.float32)[:, None]
+            out = {
+                "rho": jnp.sum(mwk * gw, axis=0),
+                "ent": jnp.sum(mwk * gw * ent_c[:, None], axis=0),
+                "v": jnp.sum((mwk * gw)[..., None] * v_c[:, None, :],
+                             axis=0),
+                "mgas": jnp.sum(jnp.where(inside, m_c[:, None], 0.0)
+                                * gw, axis=0),
+            }
+            if par.dynfric_method > 0:
+                dw = df_c.astype(jnp.float32)[:, None]
+                out["df_rho"] = jnp.sum(mwk * dw, axis=0)
+                out["df_v"] = jnp.sum(
+                    (mwk * dw)[..., None] * v_c[:, None, :], axis=0)
+                out["df_v2"] = jnp.sum(
+                    mwk * dw * jnp.sum(v_c * v_c, axis=-1)[:, None],
+                    axis=0)
+            if par.kinetic_on:
+                nw = jnp.where(inside, dm_c.astype(jnp.float32)[:, None],
+                               0.0)
+                out["vd_n"] = jnp.sum(nw, axis=0)
+                out["vd_v"] = jnp.sum(nw[..., None] * v_c[:, None, :],
+                                      axis=0)
+                out["vd_v2"] = jnp.sum(
+                    nw * jnp.sum(v_c * v_c, axis=-1)[:, None], axis=0)
+            return out
+
+        zero = {"rho": jnp.zeros(G, jnp.float32),
+                "ent": jnp.zeros(G, jnp.float32),
+                "v": jnp.zeros((G, 3), jnp.float32),
+                "mgas": jnp.zeros(G, jnp.float32)}
+        if par.dynfric_method > 0:
+            zero.update(df_rho=jnp.zeros(G, jnp.float32),
+                        df_v=jnp.zeros((G, 3), jnp.float32),
+                        df_v2=jnp.zeros(G, jnp.float32))
+        if par.kinetic_on:
+            zero.update(vd_n=jnp.zeros(G, jnp.float32),
+                        vd_v=jnp.zeros((G, 3), jnp.float32),
+                        vd_v2=jnp.zeros(G, jnp.float32))
+
+        xs = row_chunks(st["ipos"], jnp.where(valid, st["mass"], 0.0),
+                        st["vel"], st["entropy"], gas, dfsrc, is_dm)
+
+        def body_a(carry, x):
+            return _tree_add(carry, sums_chunk(x)), None
+
+        sums, _ = lax.scan(body_a, zero, xs)
+        sums = lax.psum(sums, "x")
+
+        atime = scal["atime"]
+        dtime = scal["dtime"]
+
+        # ---- Bondi accretion on the replicated list ----
+        mdot_g, dm_acc = bondi_accretion(
+            par, bhm_g, sums["rho"], sums["ent"], sums["v"], vel_g,
+            atime, gconst, unit_time_in_s, hubble_param, dtime)
+        mdot_g = jnp.where(ok_g, mdot_g, 0.0)
+        bhm_g = jnp.where(ok_g, bhm_g + dm_acc, bhm_g)
+
+        # ---- dynamical friction ----
+        if par.dynfric_method > 0:
+            safe = jnp.maximum(sums["df_rho"], 1e-30)
+            vel_sur = sums["df_v"] / safe[:, None]
+            rms = jnp.sqrt(jnp.maximum(sums["df_v2"] / safe, 0.0))
+            df_g = dynfric_accel(sums["df_rho"], vel_sur, rms, mass_g,
+                                 vel_g, atime, gconst,
+                                 bmax=par.df_bmax, boost=par.df_boost)
+            df_g = jnp.where(ok_g[:, None], df_g, 0.0)
+        else:
+            df_g = jnp.zeros((G, 3), jnp.float32)
+
+        # ---- kinetic channel ----
+        if par.kinetic_on:
+            cnt = jnp.maximum(sums["vd_n"], 1.0)
+            vm2 = jnp.sum(sums["vd_v"] ** 2, axis=-1) / cnt ** 2
+            vdisp_g = jnp.sqrt(jnp.maximum(
+                sums["vd_v2"] / cnt - vm2, 0.0) / 3.0)
+            ke_g, keflag = kinetic_update(
+                par, bhm_g, mdot_g, sums["rho"], vdisp_g,
+                sums["mgas"], ke_g0, dtime, unit_time_in_s,
+                hubble_param, rho_crit_baryon, unit_velocity)
+            ke_g = jnp.where(ok_g, ke_g, 0.0)
+            keflag = jnp.where(ok_g, keflag, 0)
+        else:
+            vdisp_g = jnp.zeros(G, jnp.float32)
+            ke_g = ke_g0
+            keflag = jnp.zeros(G, jnp.int32)
+
+        # ---- gas-side: swallowing + thermal/kinetic feedback ----
+        fb_energy = par.feedback_factor * 0.1 * mdot_g * dtime \
+            * jnp.float32((C.LIGHTCGS / unit_velocity) ** 2)
+        fb_energy = jnp.where(keflag > 0, 0.0, fb_energy)
+        ke_rel = jnp.where(keflag == 2, ke_g, 0.0)
+        mdyn_g = mass_g
+        if par.seed_bh_dyn_mass > 0:
+            mdyn_g = jnp.where(mtrack_g < par.seed_bh_dyn_mass,
+                               mtrack_g, mass_g)
+        rho_safe = jnp.maximum(sums["rho"], 1e-30)
+        pfac_g = jnp.where(sums["rho"] > 0,
+                           jnp.maximum(bhm_g - mdyn_g, 0.0) / rho_safe,
+                           0.0)
+        dufac_g = jnp.where(sums["rho"] > 0,
+                            fb_energy / jnp.maximum(sums["rho"], 1e-30),
+                            0.0)
+        kefac_g = jnp.where(sums["rho"] > 0, 2.0 * ke_rel / rho_safe,
+                            0.0)
+        slot_ids = jnp.arange(G, dtype=jnp.int32)
+
+        def gasside_chunk(args):
+            ipos_c, gas_c = args
+            _, r = pair_geom(ipos_c)
+            near = (r < hsml_g[None, :]) & ok_g[None, :] \
+                & gas_c[:, None]
+            wk = jnp.where(near,
+                           K.kernel_wk(r * hinv_g[None, :],
+                                       hinv_g[None, :], kernel_type),
+                           0.0)
+            p = jnp.sum(wk * pfac_g[None, :], axis=1)
+            du = jnp.sum(wk * dufac_g[None, :], axis=1)
+            dv = jnp.sum(jnp.sqrt(wk * kefac_g[None, :]), axis=1)
+            slot = jnp.max(jnp.where(near, slot_ids[None, :], -1),
+                           axis=1)
+            return p, du, dv, slot
+
+        xs2 = row_chunks(st["ipos"], gas)
+        _, (p_r, du_r, dv_r, slot_r) = lax.scan(
+            lambda c, x: (c, gasside_chunk(x)), 0, xs2)
+        p = p_r.reshape(n_local)
+        du = du_r.reshape(n_local)
+        dv = dv_r.reshape(n_local)
+        slot = slot_r.reshape(n_local)
+
+        key = scal["rng_bh"]
+        draw = _id_uniform(key, st["pid"])
+        swallowed = gas & (draw < p) & (slot >= 0)
+
+        # thermal feedback: cap injected temperature at 5e8 K
+        u_to_temp = (4 / (8 - 5 * (1 - C.HYDROGEN_MASSFRAC))) \
+            * C.PROTONMASS / C.BOLTZMANN * C.GAMMA_MINUS1 * uu_in_cgs
+        a3inv = 1.0 / atime ** 3
+        enttou = (jnp.maximum(st["density"], 1e-30) * a3inv) \
+            ** C.GAMMA_MINUS1 / C.GAMMA_MINUS1
+        u_new = jnp.minimum(st["entropy"] * enttou + du,
+                            jnp.float32(5.0e8) / u_to_temp)
+        entropy = jnp.where(gas & (du > 0),
+                            u_new / jnp.maximum(enttou, 1e-30),
+                            st["entropy"])
+        # kinetic kick: random unit direction per gas pid
+        u1 = _id_uniform(jax.random.fold_in(key, 11), st["pid"])
+        u2 = _id_uniform(jax.random.fold_in(key, 13), st["pid"])
+        ct = 2.0 * u1 - 1.0
+        stheta = jnp.sqrt(jnp.maximum(1.0 - ct * ct, 0.0))
+        phi = 2.0 * np.pi * u2
+        kick = dv[:, None] * jnp.stack(
+            [stheta * jnp.cos(phi), stheta * jnp.sin(phi), ct],
+            axis=-1)
+        vel = st["vel"] + jnp.where(gas[:, None], kick, 0.0)
+
+        # ---- swallowed mass/momentum accounting (psum'd per slot) ----
+        tgt = jnp.where(swallowed, slot, G)
+        acc_mass = jnp.zeros(G, jnp.float32).at[tgt].add(
+            jnp.where(swallowed, st["mass"], 0.0), mode="drop")
+        acc_mom = jnp.zeros((G, 3), jnp.float32).at[tgt].add(
+            jnp.where(swallowed[:, None], st["mass"][:, None] * vel,
+                      0.0), mode="drop")
+        acc_mass = lax.psum(acc_mass, "x")
+        acc_mom = lax.psum(acc_mom, "x")
+        mass2_g, mtrack2_g, vel2_g = apply_mtrack_accretion(
+            mass_g, mtrack_g, acc_mass, acc_mom, vel_g, ok_g,
+            par.seed_bh_dyn_mass)
+
+        valid = valid & ~swallowed
+        mass = jnp.where(valid, st["mass"], 0.0)
+
+        # ---- BH-BH mergers, replicated on the slot list ----
+        pos_bg = ipos_g.astype(jnp.float32) * jnp.float32(2.0 ** -32)
+        dxm = pos_bg[:, None, :] - pos_bg[None, :, :]
+        dxm = (dxm - jnp.round(dxm)) * jnp.float32(L)
+        rm = jnp.sqrt(jnp.sum(dxm * dxm, axis=-1))
+        pair_ok = ok_g[:, None] & ok_g[None, :] \
+            & ~jnp.eye(G, dtype=bool)
+        close = pair_ok & (rm < 2.0 * scal["bh_soft"])
+        if par.merge_grav_bound:
+            dvm = vel2_g[:, None, :] - vel2_g[None, :, :]
+            a_full = acc_g + df_g
+            dam = a_full[:, None, :] - a_full[None, :, :]
+            kem = 0.5 * jnp.sum(dvm * dvm, axis=-1) / atime ** 2
+            pem = jnp.sum(dam * dxm, axis=-1) / atime
+            close = close & ((kem + pem) <= 0)
+        ids_i = pid_g.astype(jnp.int64) if pid_g.dtype in (
+            jnp.int64, jnp.uint64) else pid_g.astype(jnp.int32)
+        bigger = ids_i[:, None] > ids_i[None, :]
+        claimable = close & bigger
+        id_order = jnp.argsort(-jnp.where(ok_g, ids_i, -1))
+
+        def merge_body(t, sw_of):
+            i = id_order[t].astype(jnp.int32)
+            i_free = sw_of[i] < 0
+            m = claimable[i] & (sw_of < 0) & i_free
+            return jnp.where(m, i, sw_of).astype(jnp.int32)
+
+        sw_of = lax.fori_loop(0, G, merge_body,
+                              jnp.full(G, -1, jnp.int32))
+        merged = sw_of >= 0
+        # transfers: prey j -> swallower sw_of[j]
+        other = mass2_g
+        if par.seed_bh_dyn_mass > 0:
+            other = jnp.where(mtrack2_g < par.seed_bh_dyn_mass,
+                              mtrack2_g, mass2_g)
+        tgt_m = jnp.where(merged, sw_of, G)
+        dm_m = jnp.zeros(G, jnp.float32).at[tgt_m].add(
+            jnp.where(merged, other, 0.0), mode="drop")
+        dmom_m = jnp.zeros((G, 3), jnp.float32).at[tgt_m].add(
+            jnp.where(merged[:, None], other[:, None] * vel2_g, 0.0),
+            mode="drop")
+        dbh_m = jnp.zeros(G, jnp.float32).at[tgt_m].add(
+            jnp.where(merged, bhm_g, 0.0), mode="drop")
+        dpr_m = jnp.zeros(G, jnp.int32).at[tgt_m].add(
+            jnp.where(merged, progs_g + 1, 0), mode="drop")
+        mass3_g = mass2_g + dm_m
+        vel3_g = jnp.where(
+            (dm_m > 0)[:, None],
+            (vel2_g * mass2_g[:, None] + dmom_m)
+            / jnp.maximum(mass3_g, 1e-30)[:, None], vel2_g)
+        bhm3_g = bhm_g + dbh_m
+        progs3_g = progs_g + dpr_m
+
+        # ---- scatter my slots back to my local rows ----
+        myslots = lax.dynamic_slice_in_dim(
+            jnp.arange(G, dtype=jnp.int32), s_idx * nbh_cap, nbh_cap)
+
+        def take(a):
+            return jnp.take(a, myslots, axis=0)
+
+        # rows without a live slot map to n_local (dropped), so a
+        # plain masked scatter is safe
+        dst = jnp.where(slot_ok, order, n_local)
+
+        def scat(col, vals):
+            return col.at[dst].set(vals.astype(col.dtype),
+                                   mode="drop")
+
+        valid = valid & ~(jnp.zeros(n_local, bool).at[dst].set(
+            take(merged), mode="drop"))
+        mass = scat(mass, take(mass3_g))
+        mass = jnp.where(valid, mass, 0.0)
+        vel = scat(vel, take(vel3_g))
+        upd = {
+            "vel": vel, "mass": mass, "valid": valid,
+            "entropy": entropy,
+            "bh_mass": scat(st["bh_mass"], take(bhm3_g)),
+            "bh_mdot": scat(st["bh_mdot"], take(mdot_g)),
+            "bh_density": scat(st["bh_density"], take(sums["rho"])),
+            "bh_mtrack": scat(st["bh_mtrack"], take(mtrack2_g)),
+            "bh_progs": scat(st["bh_progs"], take(progs3_g)),
+            "bh_ke": scat(st["bh_ke"],
+                          take(jnp.where(keflag == 2, 0.0, ke_g))),
+            "bh_vdisp": scat(st["bh_vdisp"], take(vdisp_g)),
+        }
+        stats = {
+            "n_bh": jnp.sum(ok_g.astype(jnp.int32)),
+            "n_swallowed": lax.psum(
+                jnp.sum(swallowed.astype(jnp.int32)), "x"),
+            "n_merged": jnp.sum(merged.astype(jnp.int32)),
+            "ovf": lax.psum(ovf.astype(jnp.int32), "x"),
+            "mdot_sum": jnp.sum(mdot_g),
+            "bh_mass_total": jnp.sum(jnp.where(ok_g & ~merged,
+                                               bhm3_g, 0.0)),
+        }
+        return upd, stats
+
+    st_keys = ("ipos", "vel", "mass", "valid", "pid", "ptype", "hsml",
+               "entropy", "density", "gas_mask", "grav_acc",
+               "bh_mass", "bh_mdot", "bh_density", "bh_mtrack",
+               "bh_progs", "bh_ke", "bh_vdisp")
+    upd_keys = ("vel", "mass", "valid", "entropy", "bh_mass",
+                "bh_mdot", "bh_density", "bh_mtrack", "bh_progs",
+                "bh_ke", "bh_vdisp")
+    stat_keys = ("n_bh", "n_swallowed", "n_merged", "ovf", "mdot_sum",
+                 "bh_mass_total")
+    scal_keys = ("atime", "dtime", "rng_bh", "bh_soft")
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=({k: P("x") for k in st_keys},
+                  {k: P() for k in scal_keys}),
+        out_specs=({k: P("x") for k in upd_keys},
+                   {k: P() for k in stat_keys}),
+        check_vma=False)
+    return jax.jit(fn)

@@ -35,7 +35,8 @@ from .pfft import pm_force_slab, cic_deposit_slab, cic_readout_slab
 
 
 def pm_force_multi(ipos, weights, nmesh, boxsize, gconst, asmth,
-                   axis_name, hops):
+                   axis_name, hops, nu_logk=None, nu_fac=None,
+                   nbins=0):
     """Sharded PM force for rows that may live up to ``hops`` geometric
     slabs away from their holder (count-balanced ownership).
 
@@ -45,8 +46,16 @@ def pm_force_multi(ipos, weights, nmesh, boxsize, gconst, asmth,
     pfft.py:68-133), and ring-returns the accel chunks; every row's
     accel arrives as exactly one non-zero contribution.  hops=0 is the
     strictly-geometric case (== pm_force_slab).
+
+    nu_logk/nu_fac: optional neutrino linear-response table — modes
+    are scaled by interp(log k) exactly like the single-chip kernel
+    (potential_transfer, gravpm.c:415-436).  nbins > 0 additionally
+    bins the in-line total-matter power spectrum per slab and psums
+    the bins (powerspectrum_add_mode at scale); returns
+    (accel, (p, n, k, norm) or None).
     """
-    from ..pm.gravity import potential_transfer_fac, force_transfer_fac
+    from ..pm.gravity import (potential_transfer_fac,
+                              force_transfer_fac, _bin_reduce)
     from .pfft import (_kmodes_slab, _deconv_slab, pencil_r2c,
                        pencil_c2r)
     S = axis_size(axis_name)
@@ -70,6 +79,31 @@ def pm_force_multi(ipos, weights, nmesh, boxsize, gconst, asmth,
     kx, ky, kz = _kmodes_slab(nmesh, ny_loc, s)
     k2 = kx * kx + ky * ky + kz * kz
     deconv = _deconv_slab(kx, ky, kz, nmesh)
+    if nu_logk is not None:
+        kmag = jnp.sqrt(k2) * jnp.float32(2 * np.pi / boxsize)
+        fac_nu = jnp.interp(jnp.log(jnp.maximum(kmag, 1e-30)),
+                            nu_logk, nu_fac)
+        rho_k = rho_k * jnp.where(k2 > 0, fac_nu,
+                                  1.0).astype(jnp.complex64)
+    pk = None
+    if nbins:
+        m2 = (rho_k.real ** 2 + rho_k.imag ** 2) * deconv * deconv
+        w = jnp.where((kz == 0) | (kz == nmesh // 2),
+                      jnp.float32(1.0), jnp.float32(2.0)) \
+            * jnp.ones_like(k2)
+        binsperunit = (nbins - 1) / np.log(np.sqrt(3.0) * nmesh / 2.0)
+        kint = jnp.floor(binsperunit * 0.5 * jnp.log(
+            jnp.maximum(k2, 1e-30))).astype(jnp.int32)
+        kint = jnp.where(k2 == 0, nbins, kint)
+        keff = jnp.sqrt(k2)
+        p_b, n_b, k_b = _bin_reduce(
+            kint.ravel(), nbins, (w * m2).ravel(), w.ravel(),
+            (w * keff).ravel())
+        # the zero mode lives on the shard holding ky=0 (s == 0)
+        norm = lax.psum(jnp.where(s == 0, rho_k[0, 0, 0].real ** 2,
+                                  0.0), axis_name)
+        pk = (lax.psum(p_b, axis_name), lax.psum(n_b, axis_name),
+              lax.psum(k_b, axis_name), norm)
     pot_k = rho_k * potential_transfer_fac(
         k2, deconv, nmesh, boxsize, gconst, asmth).astype(jnp.complex64)
     meshes = []
@@ -87,7 +121,7 @@ def pm_force_multi(ipos, weights, nmesh, boxsize, gconst, asmth,
         # rows gathered with shift sh came from shard s-sh; their accel
         # contribution returns with the inverse shift.
         acc = acc + ring_shift(part, axis_name, -sh)
-    return acc
+    return acc, pk
 
 
 def _entropy_update(entropy, dtent, dloga, density, min_egy_spec,
@@ -167,7 +201,8 @@ def build_sharded_step(mesh, *, n_local, with_gas, hops_ghost, hops_pm,
                        caps_d, caps_h, nmesh, boxsize, gconst, asmth,
                        rcut, min_egy_spec, strip_margin=1.6,
                        hist_bits=12, cooling_fn=None, sfr_fn=None,
-                       wind_fn=None, extra_state_keys=()):
+                       wind_fn=None, extra_state_keys=(), nbins=0,
+                       with_nu=False):
     """Build the jitted production step.
 
     step(state, bounds, scal) -> (state', stats, flags) where
@@ -263,10 +298,11 @@ def build_sharded_step(mesh, *, n_local, with_gas, hops_ghost, hops_pm,
         dring = jnp.abs(geo - s_idx)
         dring = jnp.minimum(dring, S - dring)
         pm_far = jnp.any(valid & (dring > hops_pm))
-        acc_pm = pm_force_multi(st["ipos"],
-                                jnp.where(valid, st["mass"], 0.0),
-                                nmesh, boxsize, gconst, asmth, "x",
-                                hops_pm)
+        acc_pm, pk = pm_force_multi(
+            st["ipos"], jnp.where(valid, st["mass"], 0.0), nmesh,
+            boxsize, gconst, asmth, "x", hops_pm,
+            nu_logk=scal["nu_logk"] if with_nu else None,
+            nu_fac=scal["nu_fac"] if with_nu else None, nbins=nbins)
         grav_acc = acc_tree + acc_pm
         st["amag"] = jnp.sqrt(jnp.sum(grav_acc * grav_acc, axis=-1))
         st["grav_acc"] = grav_acc
@@ -422,6 +458,11 @@ def build_sharded_step(mesh, *, n_local, with_gas, hops_ghost, hops_pm,
             "sfr_sum": sfr_sum,
             "n_spawned": nspawn,
         }
+        if nbins:
+            # psum'd in-line power spectrum (powerspectrum_add_mode);
+            # the host finalizes with pm.gravity._finalize_power
+            stats["pk_p"], stats["pk_n"], stats["pk_k"], \
+                stats["pk_norm"] = pk
         flags_vec = jnp.stack([
             x_ovf, g_ovf | g2_bad, res.overflow, dens_bad, hydro_bad,
             strip_bad, pm_far, spawn_ovf]).astype(jnp.int32)
@@ -440,16 +481,20 @@ def build_sharded_step(mesh, *, n_local, with_gas, hops_ghost, hops_pm,
                        "birth_density", "birth_metallicity"]
     state_keys += [k for k in extra_state_keys if k not in state_keys]
     in_state_spec = {k: P("x") for k in state_keys}
-    stats_spec = {k: P() for k in
-                  ("vsum", "count", "min_mass", "max_acc",
-                   "min_h_over_sig", "min_h_over_dth", "hist",
-                   "n_valid", "hmax", "sfr_sum", "n_spawned")}
+    stats_keys = ["vsum", "count", "min_mass", "max_acc",
+                  "min_h_over_sig", "min_h_over_dth", "hist",
+                  "n_valid", "hmax", "sfr_sum", "n_spawned"]
+    if nbins:
+        stats_keys += ["pk_p", "pk_n", "pk_k", "pk_norm"]
+    stats_spec = {k: P() for k in stats_keys}
     scal_keys = ["dk1", "hk1", "dloga1", "ddrift", "dk2", "hk2",
                  "dloga2", "dloga_full", "atime", "hubble"]
     if cooling_fn is not None or sfr_fn is not None:
         scal_keys += ["redshift", "uvbg"]
     if sfr_fn is not None:
         scal_keys += ["rng"]
+    if with_nu:
+        scal_keys += ["nu_logk", "nu_fac"]
     scal_spec = {k: P() for k in scal_keys}
     fn = shard_map(step_local, mesh=mesh,
                    in_specs=(in_state_spec, P(), scal_spec),

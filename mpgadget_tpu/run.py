@@ -526,10 +526,15 @@ class Simulation:
         self.sph = SphData.zeros(n)
         gas = self.gas_mask
         atime = self.atime
-        # initial hsml guess from the mean gas separation
+        # initial hsml guess from the mean gas separation; BHs from
+        # ICs get the same seed kernel (init.c:461-524 initializes
+        # Hsml for types 0 AND 5 — a zero BH kernel would make the
+        # accretion sums empty forever)
         ngas = float(jnp.sum(gas))
         mean_sep = self.cfg.boxsize / max(1.0, np.cbrt(ngas))
-        hsml0 = jnp.where(gas, 2.0 * mean_sep, 0.0).astype(jnp.float32)
+        is_bh = self.pdata.valid & (self.pdata.ptype == 5)
+        hsml0 = jnp.where(gas | is_bh, 2.0 * mean_sep,
+                          0.0).astype(jnp.float32)
         self.pdata = self.pdata.replace(hsml=hsml0)
         # u_init from InitGasTemp (init.c:488-501)
         init_temp = self.cfg.init_gas_temp
@@ -1312,13 +1317,24 @@ class Simulation:
             and (self.cfg.wind_model & windmod.WIND_SUBGRID)
             and (self.cfg.wind_model & windmod.WIND_FIXED_EFFICIENCY))
         with_metals = bool(with_gas and self.cfg.metal_return_on)
-        if with_gas and (self.cfg.black_hole_on
-                         or (self.cfg.wind_on and not wind_sharded)):
+        with_bh = bool(with_gas and self.cfg.black_hole_on)
+        if with_bh and self.cfg.bh_reposition:
             raise ValueError(
-                "run_sharded covers gravity+SPH+cooling+SFR+subgrid "
-                "fixed-efficiency winds+metal return; BH and "
-                "neighbor-search wind models (vs08/ofjt10) are not "
-                "sharded yet — use the single-device run() for those")
+                "bh_reposition needs the potential column, which the "
+                "sharded state does not carry — use the single-device "
+                "run() for repositioning configs")
+        # non-subgrid wind models (vs08/ofjt10) kick gas NEIGHBORS of
+        # the new stars; they run as a separate sharded program after
+        # the step (parallel/winds.py)
+        wind_neighbors = bool(
+            with_sfr and self.cfg.wind_on
+            and not (self.cfg.wind_model & windmod.WIND_SUBGRID))
+        if (with_gas and self.cfg.wind_on and not wind_sharded
+                and not wind_neighbors):
+            raise ValueError(
+                "sharded subgrid winds require WIND_FIXED_EFFICIENCY "
+                "(sh03); use the single-device run() for exotic "
+                "subgrid+halo combinations")
         if with_metals and not with_sfr:
             raise ValueError("sharded metal return requires "
                              "StarformationOn (star slots)")
@@ -1342,79 +1358,104 @@ class Simulation:
         n_pad = n_local * S
 
         def pad(a, fill=0):
+            # pad from the array's own length: the host mirror may
+            # have grown (spawning) between make_state() calls
+            if a.shape[0] > n_pad:
+                raise RuntimeError(
+                    "host mirror outgrew the sharded capacity "
+                    f"({a.shape[0]} > {n_pad}); restart run_sharded")
             return jnp.concatenate(
-                [a, jnp.full((n_pad - n,) + a.shape[1:], fill,
-                             a.dtype)], axis=0)
+                [a, jnp.full((n_pad - a.shape[0],) + a.shape[1:],
+                             fill, a.dtype)], axis=0)
 
-        acc0 = self.pdata.grav_accel + self.pdata.grav_pm
-        state = {
-            "ipos": pad(self.pdata.ipos), "vel": pad(self.pdata.vel),
-            "mass": pad(self.pdata.mass),
-            "valid": pad(self.pdata.valid, False),
-            "pid": pad(self.pdata.pid),
-            "ptype": pad(self.pdata.ptype),
-            "amag": pad(jnp.sqrt(jnp.sum(acc0 * acc0, axis=-1))),
-            "grav_acc": pad(acc0),
-        }
         with_cooling = bool(with_gas and self.cfg.cooling_on
                             and not with_sfr)
-        if with_gas:
-            state.update(
-                gas_mask=pad(self.gas_mask, False),
-                hsml=pad(self.pdata.hsml),
-                entropy=pad(self.sph.entropy),
-                dtent=pad(self.sph.dt_entropy),
-                density=pad(self.sph.density),
-                egywt=pad(self.sph.egy_wt_density),
-                divv=pad(self.sph.div_vel),
-                curlv=pad(self.sph.curl_vel),
-                dhsml_egy=pad(self.sph.dhsml_egy_factor),
-                dt_hsml=pad(self.pdata.dt_hsml),
-                hydro_acc=pad(self.sph.hydro_accel),
-                maxsig=pad(self.sph.max_signal_vel))
-        if with_cooling or with_sfr:
-            if not hasattr(self, "_cooling"):
-                self._init_cooling()
-            state.update(ne=pad(self.sph.ne),
-                         metallicity=pad(self.sph.metallicity))
-        if with_sfr:
-            if not hasattr(self, "_sfr"):
-                self._init_sfr()
-            from .physics.stars import StarData
-            if self.stars is None:
-                self.stars = StarData.zeros(self.pdata.capacity)
-            state.update(
-                sfr=pad(self.sph.sfr),
-                delay_time=pad(self.sph.delay_time),
-                formation_time=pad(self.stars.formation_time),
-                birth_density=pad(self.stars.birth_density),
-                birth_metallicity=pad(self.stars.metallicity))
-        if with_metals:
-            # one (N,9) species column serves both sides: gas rows
-            # hold the evolving gas metals, star rows the star's
-            # birth composition (metal_return.c NMETALS layout)
-            is_star0 = self.pdata.valid & (self.pdata.ptype == 4)
-            metals0 = jnp.where(is_star0[:, None], self.stars.metals,
-                                self.sph.metals)
-            npart0 = float(np.asarray(self.pdata.num_valid))
-            msep = self.cfg.boxsize / max(1.0, np.cbrt(npart0))
-            msep32 = jnp.float32(2.0 * msep)  # keep the column f32:
-            # a numpy-f64 scalar here promotes state['mass'] after the
-            # first return step and poisons the walk's packed rows
-            sh0 = getattr(self, "_star_hsml", None)
-            if sh0 is None:
-                sh0 = jnp.where(self.pdata.hsml > 0, self.pdata.hsml,
-                                msep32)
-            sh0 = jnp.where(is_star0, jnp.where(sh0 > 0, sh0, msep32),
-                            jnp.float32(0.0)).astype(jnp.float32)
-            state.update(
-                metals=pad(metals0),
-                star_hsml=pad(sh0),
-                total_mass_returned=pad(
-                    self.stars.total_mass_returned),
-                last_enrichment_myr=pad(
-                    self.stars.last_enrichment_myr))
-        state = shard_particles(state, device_mesh, axis="x")
+
+        def make_state():
+            """(Re)build the sharded state dict from the host
+            mirror — called once at entry and again after FOF BH
+            seeding mutates the host arrays."""
+            acc0 = self.pdata.grav_accel + self.pdata.grav_pm
+            state = {
+                "ipos": pad(self.pdata.ipos), "vel": pad(self.pdata.vel),
+                "mass": pad(self.pdata.mass),
+                "valid": pad(self.pdata.valid, False),
+                "pid": pad(self.pdata.pid),
+                "ptype": pad(self.pdata.ptype),
+                "amag": pad(jnp.sqrt(jnp.sum(acc0 * acc0, axis=-1))),
+                "grav_acc": pad(acc0),
+            }
+            if with_gas:
+                state.update(
+                    gas_mask=pad(self.gas_mask, False),
+                    hsml=pad(self.pdata.hsml),
+                    entropy=pad(self.sph.entropy),
+                    dtent=pad(self.sph.dt_entropy),
+                    density=pad(self.sph.density),
+                    egywt=pad(self.sph.egy_wt_density),
+                    divv=pad(self.sph.div_vel),
+                    curlv=pad(self.sph.curl_vel),
+                    dhsml_egy=pad(self.sph.dhsml_egy_factor),
+                    dt_hsml=pad(self.pdata.dt_hsml),
+                    hydro_acc=pad(self.sph.hydro_accel),
+                    maxsig=pad(self.sph.max_signal_vel))
+            if with_cooling or with_sfr:
+                if not hasattr(self, "_cooling"):
+                    self._init_cooling()
+                state.update(ne=pad(self.sph.ne),
+                             metallicity=pad(self.sph.metallicity))
+            if with_sfr:
+                if not hasattr(self, "_sfr"):
+                    self._init_sfr()
+                from .physics.stars import StarData
+                if self.stars is None:
+                    self.stars = StarData.zeros(self.pdata.capacity)
+                state.update(
+                    sfr=pad(self.sph.sfr),
+                    delay_time=pad(self.sph.delay_time),
+                    formation_time=pad(self.stars.formation_time),
+                    birth_density=pad(self.stars.birth_density),
+                    birth_metallicity=pad(self.stars.metallicity))
+            if with_metals:
+                # one (N,9) species column serves both sides: gas rows
+                # hold the evolving gas metals, star rows the star's
+                # birth composition (metal_return.c NMETALS layout)
+                is_star0 = self.pdata.valid & (self.pdata.ptype == 4)
+                metals0 = jnp.where(is_star0[:, None], self.stars.metals,
+                                    self.sph.metals)
+                npart0 = float(np.asarray(self.pdata.num_valid))
+                msep = self.cfg.boxsize / max(1.0, np.cbrt(npart0))
+                msep32 = jnp.float32(2.0 * msep)  # keep the column f32:
+                # a numpy-f64 scalar here promotes state['mass'] after the
+                # first return step and poisons the walk's packed rows
+                sh0 = getattr(self, "_star_hsml", None)
+                if sh0 is None:
+                    sh0 = jnp.where(self.pdata.hsml > 0, self.pdata.hsml,
+                                    msep32)
+                sh0 = jnp.where(is_star0, jnp.where(sh0 > 0, sh0, msep32),
+                                jnp.float32(0.0)).astype(jnp.float32)
+                state.update(
+                    metals=pad(metals0),
+                    star_hsml=pad(sh0),
+                    total_mass_returned=pad(
+                        self.stars.total_mass_returned),
+                    last_enrichment_myr=pad(
+                        self.stars.last_enrichment_myr))
+            if with_bh:
+                from .physics.blackhole import BhData
+                if getattr(self, "bh", None) is None:
+                    self.bh = BhData.zeros(self.pdata.capacity)
+                state.update(
+                    bh_mass=pad(self.bh.bh_mass),
+                    bh_mdot=pad(self.bh.mdot),
+                    bh_density=pad(self.bh.bh_density),
+                    bh_mtrack=pad(self.bh.mtrack),
+                    bh_progs=pad(self.bh.count_progs),
+                    bh_ke=pad(self.bh.kinetic_energy),
+                    bh_vdisp=pad(self.bh.vdisp))
+            return shard_particles(state, device_mesh, axis="x")
+
+        state = make_state()
 
         cooling_fn = None
         if with_cooling:
@@ -1590,10 +1631,54 @@ class Simulation:
                     hist_bits=hist_bits, cooling_fn=cooling_fn,
                     sfr_fn=sfr_fn, wind_fn=wind_fn,
                     extra_state_keys=(
-                        ("metals", "star_hsml", "total_mass_returned",
-                         "last_enrichment_myr") if with_metals
-                        else ()))[0]
+                        (("metals", "star_hsml",
+                          "total_mass_returned",
+                          "last_enrichment_myr") if with_metals
+                         else ())
+                        + (("bh_mass", "bh_mdot", "bh_density",
+                            "bh_mtrack", "bh_progs", "bh_ke",
+                            "bh_vdisp") if with_bh else ())))[0]
             return steps_cache[key]
+
+        windnb_cache = {}
+        windnb_bp = {"nstar_cap": 64}
+
+        def get_windnb_fn():
+            from .parallel.winds import build_sharded_winds
+            key = windnb_bp["nstar_cap"]
+            if key not in windnb_cache:
+                npart0 = max(float(np.asarray(self.pdata.num_valid)),
+                             1.0)
+                windnb_cache[key] = build_sharded_winds(
+                    device_mesh, n_local=n_local, nstar_cap=key,
+                    par=self._winds, boxsize=self.cfg.boxsize,
+                    mean_sep=self.cfg.boxsize / np.cbrt(npart0))
+            return windnb_cache[key]
+
+        bh_cache = {}
+        bh_par = self._bh_params() if with_bh else None
+        bh_bp = {"nbh_cap": 32}
+
+        def get_bh_fn():
+            from .parallel.blackhole import build_sharded_bh
+            key = bh_bp["nbh_cap"]
+            if key not in bh_cache:
+                rho_crit_b = self.CP.OmegaBaryon * 3 \
+                    * self.CP.Hubble ** 2 \
+                    / (8 * np.pi * self.CP.GravInternal)
+                bh_cache[key] = build_sharded_bh(
+                    device_mesh, n_local=n_local, nbh_cap=key,
+                    par=bh_par, boxsize=self.cfg.boxsize,
+                    gconst=self.CP.GravInternal,
+                    unit_time_in_s=self.cfg.units.UnitTime_in_s,
+                    hubble_param=self.CP.HubbleParam,
+                    unit_velocity=self.cfg.units
+                    .UnitVelocity_in_cm_per_s,
+                    uu_in_cgs=self.cfg.units
+                    .UnitInternalEnergy_in_cgs,
+                    rho_crit_baryon=rho_crit_b,
+                    kernel_type=self.cfg.density_kernel_type)
+            return bh_cache[key]
 
         metal_cache = {}
 
@@ -1751,6 +1836,17 @@ class Simulation:
                         last_enrichment_myr=take(
                             "last_enrichment_myr"))
                     self._star_hsml = take("star_hsml")
+            if with_bh:
+                from .physics.blackhole import BhData
+                if getattr(self, "bh", None) is None:
+                    self.bh = BhData.zeros(self.pdata.capacity)
+                self.bh = self.bh.replace(
+                    bh_mass=take("bh_mass"), mdot=take("bh_mdot"),
+                    bh_density=take("bh_density"),
+                    mtrack=take("bh_mtrack"),
+                    count_progs=take("bh_progs"),
+                    kinetic_energy=take("bh_ke"),
+                    vdisp=take("bh_vdisp"))
 
         nsteps = 0
         stats = None
@@ -1852,6 +1948,70 @@ class Simulation:
             state = new_state
             self.ti_current = t1
             nsteps += 1
+            if wind_neighbors:
+                # vs08/ofjt10: kick gas neighbors of the stars formed
+                # inside this step (winds.c:299-567 via
+                # parallel/winds.py; formation_time == atime marks
+                # them)
+                dloga_f = float(loga(t1) - loga(t0))
+                hub1 = float(self.CP.hubble_function(a1))
+                scal_w = {
+                    "atime": jnp.float32(a1),
+                    "dtime": jnp.float32(dloga_f / hub1),
+                    "rng_wind": jax.random.fold_in(scal["rng"], 77),
+                }
+                w_keys = ("ipos", "vel", "mass", "valid", "pid",
+                          "ptype", "hsml", "entropy", "density",
+                          "delay_time", "gas_mask", "formation_time")
+                for w_try in range(6):
+                    sub = {k: state[k] for k in w_keys}
+                    w_upd, w_stats = get_windnb_fn()(sub, scal_w)
+                    if not int(w_stats["ovf"]):
+                        state.update(w_upd)
+                        break
+                    windnb_bp["nstar_cap"] = min(
+                        2 * windnb_bp["nstar_cap"], n_local)
+                else:
+                    from .utils.log import endrun
+                    endrun(5, "sharded winds: star-slot retries "
+                           "exhausted")
+            if with_bh:
+                # Strang-split BH accretion/swallowing/feedback/
+                # mergers on the sharded state (blackhole.c:216-360
+                # via parallel/blackhole.py; runs after the sharded
+                # SFR source terms rather than before — the two are
+                # Strang-split against the same step)
+                dloga_f = float(loga(t1) - loga(t0))
+                hub1 = float(self.CP.hubble_function(a1))
+                nv = max(float(stats["n_valid"]), 1.0)
+                soft = self.cfg.gravity_softening * self.cfg.boxsize \
+                    / max(round(nv ** (1.0 / 3)), 1)
+                scal_bh = {
+                    "atime": jnp.float32(a1),
+                    "dtime": jnp.float32(dloga_f / hub1),
+                    "rng_bh": jax.random.PRNGKey(
+                        (self.cfg.random_seed + self.ti_current + 5)
+                        % (2 ** 31)),
+                    "bh_soft": jnp.float32(soft),
+                }
+                bh_keys = ("ipos", "vel", "mass", "valid", "pid",
+                           "ptype", "hsml", "entropy", "density",
+                           "gas_mask", "grav_acc", "bh_mass",
+                           "bh_mdot", "bh_density", "bh_mtrack",
+                           "bh_progs", "bh_ke", "bh_vdisp")
+                for b_try in range(6):
+                    sub = {k: state[k] for k in bh_keys}
+                    b_upd, b_stats = get_bh_fn()(sub, scal_bh)
+                    if not int(b_stats["ovf"]):
+                        if int(b_stats["n_bh"]) > 0:
+                            state.update(b_upd)
+                        break
+                    bh_bp["nbh_cap"] = min(2 * bh_bp["nbh_cap"],
+                                           n_local)
+                else:
+                    from .utils.log import endrun
+                    endrun(4, "sharded BH: slot-capacity retries "
+                           "exhausted")
             if with_metals:
                 # Strang-split stellar return at step cadence
                 # (metal_return.c:423 via parallel/metals.py)
@@ -1924,7 +2084,12 @@ class Simulation:
                     cat = self.run_fof(
                         save=(jax.process_index() == 0))
                     if self.cfg.black_hole_on:
-                        self.seed_black_holes_from_fof(cat)
+                        nseed = self.seed_black_holes_from_fof(cat)
+                        if nseed:
+                            # seeding converted host gas rows to BHs:
+                            # rebuild the device state from the
+                            # (just-mirrored) host arrays
+                            state = make_state()
             if verbose:
                 from .utils.log import message
                 message(f"[sharded step {nsteps}] a={self.atime:.5f} "

@@ -751,3 +751,345 @@ def test_sharded_metal_return_matches_single(mesh8, tmp_path):
             want = np.asarray(ref[refkey])[src]
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-7,
                                    err_msg=key)
+
+
+def test_sharded_bh_matches_single(mesh8):
+    """parallel/blackhole.py == the single-chip BH pipeline on the
+    same box (blackhole.c:216-360 at scale): the replicated-BH-list
+    design computes EXACT kernel sums (no tree capacity truncation),
+    so per-BH density/mdot/accreted mass and per-gas feedback agree
+    with physics.blackhole to f32 tolerance, and the per-ID RNG makes
+    the stochastic swallow set identical."""
+    from mpgadget_tpu.physics import blackhole as bhmod
+    from mpgadget_tpu.parallel.blackhole import build_sharded_bh
+    from mpgadget_tpu.parallel.mesh import shard_particles
+
+    box = 1000.0
+    rng = np.random.RandomState(21)
+    n = 1024
+    nbh = 4
+    pos = rng.uniform(0, box, (n, 3))
+    is_bh = np.zeros(n, bool)
+    is_bh[:nbh] = True
+    # cluster some gas around each BH so kernels are populated
+    for b in range(nbh):
+        pos[nbh + b * 60:nbh + (b + 1) * 60] = (
+            pos[b] + rng.uniform(-40, 40, (60, 3))) % box
+    ipos = jnp.asarray((pos / box * 2.0 ** 32).astype(np.uint32))
+    is_gas = ~is_bh
+    mass = np.where(is_bh, 4e-4, 2e-4).astype(np.float32)
+    hsml = np.where(is_bh, 60.0, 30.0).astype(np.float32)
+    vel = rng.randn(n, 3).astype(np.float32) * 20.0
+    entropy = np.abs(rng.randn(n)).astype(np.float32) * 1e3 + 1e3
+    density = np.full(n, 1e-7, np.float32)
+    pid = np.arange(1, n + 1, dtype=np.uint32)
+    bh_mass = np.where(is_bh, 2e-3, 0.0).astype(np.float32)
+    par = bhmod.BHParams(accretion_factor=100.0, feedback_factor=0.05,
+                         eddington_factor=0.0, seed_bh_dyn_mass=-1.0,
+                         merge_grav_bound=False)
+    atime, dtime = 0.5, 2e-3
+    G, ut, hp, uv, uu = 43007.1, 3.08568e16, 0.7, 1e5, 1e10
+    key = jax.random.PRNGKey(33)
+
+    # ---- single-device reference pipeline ----
+    j = jnp.asarray
+    sums = bhmod.bh_neighbor_sums(
+        ipos, j(mass), j(hsml), j(vel), j(entropy), j(is_bh),
+        j(is_gas), box, kernel_type=1)
+    gasvel = jnp.stack([sums["vx"], sums["vy"], sums["vz"]], axis=-1)
+    mdot_1, dm_1 = bhmod.bondi_accretion(
+        par, j(bh_mass), sums["rho"], sums["ent"], gasvel, j(vel),
+        atime, G, ut, hp, dtime)
+    bhm_1 = jnp.where(j(is_bh), j(bh_mass) + dm_1, j(bh_mass))
+    swallowed_1, ent_1, _, _ = bhmod.swallow_and_feedback(
+        par, key, ipos=ipos, mass=j(mass), hsml=j(hsml),
+        entropy=j(entropy), density=j(density), is_bh=j(is_bh),
+        is_gas=j(is_gas), pid=j(pid), bh_mass=bhm_1,
+        mdot=jnp.where(j(is_bh), mdot_1, 0.0),
+        bh_density=sums["rho"], fbweight=sums["fbweight"],
+        boxsize=box, atime=atime, dtime=dtime, unit_velocity=uv,
+        uu_in_cgs=uu, kernel_type=1)
+
+    # ---- sharded pipeline on the 8-device mesh ----
+    n_local = 256
+    n_pad = n_local * NDEV
+    fn = build_sharded_bh(
+        mesh8, n_local=n_local, nbh_cap=8, par=par, boxsize=box,
+        gconst=G, unit_time_in_s=ut, hubble_param=hp,
+        unit_velocity=uv, uu_in_cgs=uu, rho_crit_baryon=1e-9,
+        kernel_type=1)
+
+    def padded(a, fill=0):
+        a = np.asarray(a)
+        out = np.full((n_pad,) + a.shape[1:], fill, a.dtype)
+        out[:n] = a
+        return jnp.asarray(out)
+
+    st = {
+        "ipos": padded(np.asarray(ipos)), "vel": padded(vel),
+        "mass": padded(mass), "valid": padded(np.ones(n, bool)),
+        "pid": padded(pid), "ptype": padded(
+            np.where(is_bh, 5, 0).astype(np.int32)),
+        "hsml": padded(hsml), "entropy": padded(entropy),
+        "density": padded(density), "gas_mask": padded(is_gas),
+        "grav_acc": padded(np.zeros((n, 3), np.float32)),
+        "bh_mass": padded(bh_mass),
+        "bh_mdot": padded(np.zeros(n, np.float32)),
+        "bh_density": padded(np.zeros(n, np.float32)),
+        "bh_mtrack": padded(np.zeros(n, np.float32)),
+        "bh_progs": padded(np.zeros(n, np.int32)),
+        "bh_ke": padded(np.zeros(n, np.float32)),
+        "bh_vdisp": padded(np.zeros(n, np.float32)),
+    }
+    st = shard_particles(st, mesh8, axis="x")
+    scal = {"atime": jnp.float32(atime), "dtime": jnp.float32(dtime),
+            "rng_bh": key, "bh_soft": jnp.float32(1.0)}
+    upd, stats = fn(st, scal)
+    assert int(stats["ovf"]) == 0
+    assert int(stats["n_bh"]) == nbh
+
+    bhr = np.nonzero(is_bh)[0]
+    np.testing.assert_allclose(
+        np.asarray(upd["bh_density"])[bhr],
+        np.asarray(sums["rho"])[bhr], rtol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(upd["bh_mdot"])[bhr],
+        np.asarray(mdot_1)[bhr], rtol=3e-4)
+    # swallow set identical (per-ID RNG): compare swallowed pids
+    sw_pid_1 = set(pid[np.asarray(swallowed_1)[:n]].tolist())
+    valid_2 = np.asarray(upd["valid"])[:n]
+    sw_pid_2 = set(pid[is_gas & ~valid_2].tolist())
+    assert sw_pid_1 == sw_pid_2
+    # thermal feedback entropy agrees on surviving gas
+    keep = is_gas & valid_2
+    np.testing.assert_allclose(
+        np.asarray(upd["entropy"])[:n][keep],
+        np.asarray(ent_1)[keep], rtol=2e-4)
+    # accreted + swallowed mass lands on the BHs
+    msw = float(np.sum(mass[is_gas & ~valid_2]))
+    dm_bh = float(np.sum(np.asarray(upd["mass"])[bhr] - mass[bhr]))
+    np.testing.assert_allclose(dm_bh, msw, rtol=1e-5, atol=1e-8)
+
+
+def test_sharded_bh_mergers(mesh8):
+    """Two BHs inside 2 x softening merge in the sharded step: the
+    bigger ID swallows, mass/momentum/BH-mass transfer, prey row is
+    invalidated (blackhole.c:495-560)."""
+    from mpgadget_tpu.physics import blackhole as bhmod
+    from mpgadget_tpu.parallel.blackhole import build_sharded_bh
+    from mpgadget_tpu.parallel.mesh import shard_particles
+
+    box = 1000.0
+    n = 64
+    rng = np.random.RandomState(3)
+    pos = rng.uniform(0, box, (n, 3))
+    pos[1] = pos[0] + np.array([1.0, 0.0, 0.0])   # close pair
+    is_bh = np.zeros(n, bool)
+    is_bh[:2] = True
+    mass = np.full(n, 1e-4, np.float32)
+    par = bhmod.BHParams(merge_grav_bound=False, eddington_factor=0.0)
+    n_local = 8
+    fn = build_sharded_bh(
+        mesh8, n_local=n_local, nbh_cap=4, par=par, boxsize=box,
+        gconst=43007.1, unit_time_in_s=3.08568e16, hubble_param=0.7,
+        unit_velocity=1e5, uu_in_cgs=1e10, rho_crit_baryon=1e-9,
+        kernel_type=1)
+    n_pad = n_local * NDEV
+
+    def padded(a, fill=0):
+        a = np.asarray(a)
+        out = np.full((n_pad,) + a.shape[1:], fill, a.dtype)
+        out[:n] = a
+        return jnp.asarray(out)
+
+    st = {
+        "ipos": padded((pos / box * 2.0 ** 32).astype(np.uint32)),
+        "vel": padded(np.zeros((n, 3), np.float32)),
+        "mass": padded(mass), "valid": padded(np.ones(n, bool)),
+        "pid": padded(np.arange(1, n + 1, dtype=np.uint32)),
+        "ptype": padded(np.where(is_bh, 5, 0).astype(np.int32)),
+        "hsml": padded(np.full(n, 20.0, np.float32)),
+        "entropy": padded(np.full(n, 1e3, np.float32)),
+        "density": padded(np.full(n, 1e-7, np.float32)),
+        "gas_mask": padded(~is_bh),
+        "grav_acc": padded(np.zeros((n, 3), np.float32)),
+        "bh_mass": padded(np.where(is_bh, 1e-3, 0).astype(np.float32)),
+        "bh_mdot": padded(np.zeros(n, np.float32)),
+        "bh_density": padded(np.zeros(n, np.float32)),
+        "bh_mtrack": padded(np.zeros(n, np.float32)),
+        "bh_progs": padded(np.zeros(n, np.int32)),
+        "bh_ke": padded(np.zeros(n, np.float32)),
+        "bh_vdisp": padded(np.zeros(n, np.float32)),
+    }
+    st = shard_particles(st, mesh8, axis="x")
+    scal = {"atime": jnp.float32(0.5), "dtime": jnp.float32(1e-3),
+            "rng_bh": jax.random.PRNGKey(5),
+            "bh_soft": jnp.float32(2.0)}
+    upd, stats = fn(st, scal)
+    assert int(stats["n_merged"]) == 1
+    valid = np.asarray(upd["valid"])
+    # bigger pid (row 1, pid 2) swallows row 0
+    assert not valid[0] and valid[1]
+    np.testing.assert_allclose(float(np.asarray(upd["mass"])[1]),
+                               2e-4, rtol=1e-4)
+    np.testing.assert_allclose(
+        float(np.asarray(upd["bh_mass"])[1]), 2e-3, rtol=1e-3)
+    assert int(np.asarray(upd["bh_progs"])[1]) == 1
+
+
+def test_run_sharded_with_black_holes(mesh8, tmp_path):
+    """run_sharded with BlackHoleOn: a pre-seeded BH accretes from
+    the surrounding gas inside the sharded loop (mdot > 0, BH mass
+    grows), swallowed gas mass is conserved onto the BH, and the BH
+    state mirrors back to BhData (blackhole.c:216-360 at scale)."""
+    from mpgadget_tpu.cosmology import Cosmology
+    from mpgadget_tpu.particles import ParticleData
+    from mpgadget_tpu.run import Simulation, SimConfig
+    from mpgadget_tpu.timeline import Timeline
+    from mpgadget_tpu.utils import get_unitsystem, constants as CC
+
+    UN = get_unitsystem(CC.CM_PER_KPC, 1.989e43, 1e5)
+    rng = np.random.RandomState(17)
+    box = 2000.0
+    ng = 8
+    n_dm = ng ** 3
+    n_gas = ng ** 3
+    grid = (np.stack(np.meshgrid(*[np.arange(ng)] * 3),
+                     axis=-1).reshape(-1, 3) + 0.5) / ng * box
+    pos = np.concatenate([
+        grid + rng.uniform(-20, 20, (n_dm, 3)),
+        grid + 0.5 / ng * box * 0.5
+        + rng.uniform(-20, 20, (n_gas, 3)),
+        [[0.5 * box, 0.5 * box, 0.5 * box]]]) % box
+    ptype = np.concatenate([np.ones(n_dm, np.int32),
+                            np.zeros(n_gas, np.int32),
+                            [np.int32(5)]])
+    mass = np.concatenate([np.full(n_dm, 5.0), np.full(n_gas, 1.0),
+                           [2.0]])
+    pdata = ParticleData.from_numpy(
+        pos, np.zeros((len(pos), 3)), mass, ptype,
+        np.arange(len(pos)) + 1, box)
+    cp = Cosmology(Omega0=0.3, OmegaLambda=0.7, HubbleParam=0.7,
+                   OmegaBaryon=0.05, TimeBegin=0.1).init_units(UN)
+    timeline = Timeline([0.15], TimeIC=0.1, TimeMax=0.15)
+    cfg = SimConfig(boxsize=box, nmesh=16, output_dir=str(tmp_path),
+                    timeline=timeline, units=UN, hydro_on=True,
+                    tree_grav_on=True, asmth=1.0, rcut=1.0,
+                    density_kernel_type=1,
+                    random_particle_offset=0.0, cooling_on=True,
+                    black_hole_on=True, bh_seed_mass=0.1,
+                    bh_accretion_factor=5e4)
+    sim = Simulation(cp, pdata, cfg, time_ic=0.1)
+    mass0 = float(jnp.sum(jnp.where(sim.pdata.valid,
+                                    sim.pdata.mass, 0.0)))
+    nsteps = sim.run_sharded(mesh8, max_steps=3, verbose=False)
+    assert nsteps == 3
+    valid = np.asarray(sim.pdata.valid)
+    pt = np.asarray(sim.pdata.ptype)
+    bhr = valid & (pt == 5)
+    assert bhr.sum() == 1
+    mdot = np.asarray(sim.bh.mdot)[bhr]
+    bhm = np.asarray(sim.bh.bh_mass)[bhr]
+    rho = np.asarray(sim.bh.bh_density)[bhr]
+    assert np.all(rho > 0), "BH sees no gas density"
+    assert np.all(mdot > 0), "Bondi rate should be positive"
+    assert np.all(bhm > 0.1), "BH subgrid mass should grow"
+    # dynamical mass conservation through swallowing
+    mass1 = float(jnp.sum(jnp.where(sim.pdata.valid,
+                                    sim.pdata.mass, 0.0)))
+    np.testing.assert_allclose(mass1, mass0, rtol=1e-5)
+    ent = np.asarray(sim.sph.entropy)
+    gas = valid & (pt == 0)
+    assert np.all(np.isfinite(ent[gas])) and np.all(ent[gas] > 0)
+
+
+def test_sharded_winds_match_single(mesh8):
+    """parallel/winds.py == physics.winds.winds_via_neighbors on the
+    same box (winds.c:299-567 at scale): per-star weights/vdisp are
+    exact dense sums, the pair-ID hash makes the stochastic hit set
+    identical, and the nearest-star resolution picks the same
+    kicker."""
+    from mpgadget_tpu.physics import winds as windmod
+    from mpgadget_tpu.parallel.winds import build_sharded_winds
+    from mpgadget_tpu.parallel.mesh import shard_particles
+
+    box = 1000.0
+    rng = np.random.RandomState(11)
+    n = 1024
+    nstar = 6
+    pos = rng.uniform(0, box, (n, 3))
+    new_star = np.zeros(n, bool)
+    new_star[:nstar] = True
+    for b in range(nstar):
+        pos[nstar + b * 40:nstar + (b + 1) * 40] = (
+            pos[b] + rng.uniform(-50, 50, (40, 3))) % box
+    is_dm = np.zeros(n, bool)
+    is_dm[nstar + nstar * 40:nstar + nstar * 40 + 400] = True
+    is_gas = ~new_star & ~is_dm
+    ipos = jnp.asarray((pos / box * 2.0 ** 32).astype(np.uint32))
+    mass = np.full(n, 1e-3, np.float32)
+    hsml = np.where(new_star, 80.0, 40.0).astype(np.float32)
+    vel = (rng.randn(n, 3) * 50).astype(np.float32)
+    entropy = np.full(n, 1e3, np.float32)
+    density = np.full(n, 1e-6, np.float32)
+    delay = np.zeros(n, np.float32)
+    pid = np.arange(1, n + 1, dtype=np.uint64)
+    par = windmod.WindParams()       # ofjt10: halo + decouple
+    par = windmod.init_winds(par, 0.1, 1e3, 1e-7, 3.08568e16)
+    atime = 0.6
+    mean_sep = box / np.cbrt(n)
+    key = jax.random.PRNGKey(19)
+
+    j = jnp.asarray
+    vd = windmod.dm_velocity_dispersion(
+        ipos, j(vel), j(mass), j(is_dm), j(new_star), box, mean_sep)
+    vel_1, ent_1, delay_1, kicked_1 = windmod.winds_via_neighbors(
+        par, key, ipos=ipos, mass=j(mass), hsml=j(hsml),
+        pid=j(pid.astype(np.int64)), vel=j(vel), entropy=j(entropy),
+        density=j(density), delay_time=j(delay), is_gas=j(is_gas),
+        new_star=j(new_star), star_vdisp=jnp.where(j(new_star), vd,
+                                                   0.0),
+        boxsize=box, atime=atime)
+
+    n_local = 256
+    n_pad = n_local * NDEV
+    fn = build_sharded_winds(mesh8, n_local=n_local, nstar_cap=8,
+                             par=par, boxsize=box, mean_sep=mean_sep)
+
+    def padded(a, fill=0):
+        a = np.asarray(a)
+        out = np.full((n_pad,) + a.shape[1:], fill, a.dtype)
+        out[:n] = a
+        return jnp.asarray(out)
+
+    ptype = np.where(new_star, 4,
+                     np.where(is_dm, 1, 0)).astype(np.int32)
+    st = {
+        "ipos": padded(np.asarray(ipos)), "vel": padded(vel),
+        "mass": padded(mass), "valid": padded(np.ones(n, bool)),
+        "pid": padded(pid), "ptype": padded(ptype),
+        "hsml": padded(hsml), "entropy": padded(entropy),
+        "density": padded(density), "delay_time": padded(delay),
+        "gas_mask": padded(is_gas),
+        "formation_time": padded(
+            np.where(new_star, atime, 0.0).astype(np.float32)),
+    }
+    st = shard_particles(st, mesh8, axis="x")
+    upd, stats = fn(st, {"atime": jnp.float32(atime),
+                         "dtime": jnp.float32(0.0),
+                         "rng_wind": key})
+    assert int(stats["ovf"]) == 0
+    assert int(stats["n_new"]) == nstar
+    kicked_2 = (np.asarray(upd["delay_time"])[:n] > 0) & is_gas
+    kicked_1n = np.asarray(kicked_1)[:n]
+    assert int(stats["n_kicked"]) > 0, "no wind kicks fired"
+    assert set(pid[kicked_1n]) == set(pid[kicked_2])
+    np.testing.assert_allclose(np.asarray(upd["vel"])[:n][kicked_2],
+                               np.asarray(vel_1)[kicked_2], rtol=2e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(upd["entropy"])[:n][kicked_2],
+        np.asarray(ent_1)[kicked_2], rtol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(upd["delay_time"])[:n][kicked_2],
+        np.asarray(delay_1)[kicked_2], rtol=2e-4)
