@@ -98,7 +98,11 @@ def build_sharded_bh(mesh, *, n_local, nbh_cap, par: BHParams,
             g = lax.all_gather(packed, "x")
             return g.reshape((G,) + a.shape[1:])
 
-        ok_g = gat(slot_ok.astype(jnp.int32)) > 0
+        # slot_ok is ALREADY packed (length nbh_cap) — it must NOT go
+        # through gat(), whose a[order] re-indexes with ROW indices
+        # (0..n_local-1); out-of-bounds gathers clamp and produce
+        # garbage occupancy whenever a BH sits at row >= nbh_cap.
+        ok_g = lax.all_gather(slot_ok, "x").reshape(G)
         ipos_g = gat(st["ipos"])
         vel_g = gat(st["vel"])
         mass_g = gat(st["mass"])

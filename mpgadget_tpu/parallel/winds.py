@@ -82,7 +82,10 @@ def build_sharded_winds(mesh, *, n_local, nstar_cap, par: WindParams,
             return lax.all_gather(packed, "x").reshape(
                 (G,) + a.shape[1:])
 
-        ok_g = gat(slot_ok.astype(jnp.int32)) > 0
+        # slot_ok is ALREADY packed (length nstar_cap) — gat() would
+        # re-index it with ROW indices and clamp out-of-bounds, so
+        # gather it directly (same fix as parallel/blackhole.py).
+        ok_g = lax.all_gather(slot_ok, "x").reshape(G)
         ipos_g = gat(st["ipos"])
         hsml_g = jnp.where(ok_g, gat(st["hsml"]), 0.0)
         mass_g = gat(st["mass"])

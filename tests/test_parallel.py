@@ -775,6 +775,16 @@ def test_sharded_bh_matches_single(mesh8):
     for b in range(nbh):
         pos[nbh + b * 60:nbh + (b + 1) * 60] = (
             pos[b] + rng.uniform(-40, 40, (60, 3))) % box
+    # ADVERSARIAL placement (round-3 regression): scatter the BHs to
+    # arbitrary high row indices — including the last row of shard 0
+    # (slab edge) — so local row index != slot index.  The round-3
+    # clamped a[order] gather of the packed slot_ok silently dropped
+    # any BH whose row index >= nbh_cap; rows 0..3 masked it.
+    perm = rng.permutation(n)
+    j0 = int(np.where(is_bh[perm])[0][0])
+    perm[[j0, 255]] = perm[[255, j0]]
+    pos = pos[perm]
+    is_bh = is_bh[perm]
     ipos = jnp.asarray((pos / box * 2.0 ** 32).astype(np.uint32))
     is_gas = ~is_bh
     mass = np.where(is_bh, 4e-4, 2e-4).astype(np.float32)
@@ -937,6 +947,74 @@ def test_sharded_bh_mergers(mesh8):
     assert int(np.asarray(upd["bh_progs"])[1]) == 1
 
 
+def test_sharded_bh_overflow_flagged(mesh8):
+    """More local BHs than nbh_cap: the step flags ovf (the caller's
+    rebuild-with-doubled-cap contract) and a rebuild at a sufficient
+    cap counts every BH — no silent drops (treewalk.c export-retry
+    semantics)."""
+    from mpgadget_tpu.physics import blackhole as bhmod
+    from mpgadget_tpu.parallel.blackhole import build_sharded_bh
+    from mpgadget_tpu.parallel.mesh import shard_particles
+
+    box = 1000.0
+    rng = np.random.RandomState(7)
+    n_local = 64
+    n_pad = n_local * NDEV
+    nbh = 6
+    pos = rng.uniform(0, box, (n_pad, 3))
+    is_bh = np.zeros(n_pad, bool)
+    # all 6 BHs on shard 0, at HIGH row indices (> any cap)
+    bh_rows = np.array([20, 31, 45, 50, 58, 63])
+    is_bh[bh_rows] = True
+    # surround every BH with gas (spread across all shards) so each
+    # occupied slot accumulates a nonzero neighbor density
+    for b, r in enumerate(bh_rows):
+        sl = slice(64 + b * 40, 64 + (b + 1) * 40)
+        pos[sl] = (pos[r] + rng.uniform(-15, 15, (40, 3))) % box
+    par = bhmod.BHParams(merge_grav_bound=False, eddington_factor=0.0)
+
+    def mk(cap):
+        return build_sharded_bh(
+            mesh8, n_local=n_local, nbh_cap=cap, par=par, boxsize=box,
+            gconst=43007.1, unit_time_in_s=3.08568e16,
+            hubble_param=0.7, unit_velocity=1e5, uu_in_cgs=1e10,
+            rho_crit_baryon=1e-9, kernel_type=1)
+
+    st = {
+        "ipos": jnp.asarray((pos / box * 2.0 ** 32).astype(np.uint32)),
+        "vel": jnp.zeros((n_pad, 3), jnp.float32),
+        "mass": jnp.full(n_pad, 1e-4, jnp.float32),
+        "valid": jnp.ones(n_pad, bool),
+        "pid": jnp.arange(1, n_pad + 1, dtype=jnp.uint32),
+        "ptype": jnp.asarray(np.where(is_bh, 5, 0).astype(np.int32)),
+        "hsml": jnp.full(n_pad, 20.0, jnp.float32),
+        "entropy": jnp.full(n_pad, 1e3, jnp.float32),
+        "density": jnp.full(n_pad, 1e-7, jnp.float32),
+        "gas_mask": jnp.asarray(~is_bh),
+        "grav_acc": jnp.zeros((n_pad, 3), jnp.float32),
+        "bh_mass": jnp.asarray(
+            np.where(is_bh, 1e-3, 0).astype(np.float32)),
+        "bh_mdot": jnp.zeros(n_pad, jnp.float32),
+        "bh_density": jnp.zeros(n_pad, jnp.float32),
+        "bh_mtrack": jnp.zeros(n_pad, jnp.float32),
+        "bh_progs": jnp.zeros(n_pad, jnp.int32),
+        "bh_ke": jnp.zeros(n_pad, jnp.float32),
+        "bh_vdisp": jnp.zeros(n_pad, jnp.float32),
+    }
+    st = shard_particles(st, mesh8, axis="x")
+    scal = {"atime": jnp.float32(0.5), "dtime": jnp.float32(1e-3),
+            "rng_bh": jax.random.PRNGKey(9),
+            "bh_soft": jnp.float32(1.0)}
+    _, stats = mk(4)(st, scal)
+    assert int(stats["ovf"]) > 0, "overflow must be flagged"
+    upd, stats = mk(8)(st, scal)
+    assert int(stats["ovf"]) == 0
+    assert int(stats["n_bh"]) == nbh, \
+        "every BH must occupy a slot after the cap retry"
+    rho = np.asarray(upd["bh_density"])[bh_rows]
+    assert np.all(rho > 0), "all BHs must accumulate neighbor sums"
+
+
 def test_run_sharded_with_black_holes(mesh8, tmp_path):
     """run_sharded with BlackHoleOn: a pre-seeded BH accretes from
     the surrounding gas inside the sharded loop (mdot > 0, BH mass
@@ -1026,6 +1104,14 @@ def test_sharded_winds_match_single(mesh8):
     is_dm = np.zeros(n, bool)
     is_dm[nstar + nstar * 40:nstar + nstar * 40 + 400] = True
     is_gas = ~new_star & ~is_dm
+    # adversarial row placement (round-3 regression class): scatter
+    # the new stars to arbitrary high rows incl. a slab-edge row so
+    # local row index != slot index in the packed gather
+    perm = rng.permutation(n)
+    j0 = int(np.where(new_star[perm])[0][0])
+    perm[[j0, 255]] = perm[[255, j0]]
+    pos, new_star, is_dm, is_gas = (
+        pos[perm], new_star[perm], is_dm[perm], is_gas[perm])
     ipos = jnp.asarray((pos / box * 2.0 ** 32).astype(np.uint32))
     mass = np.full(n, 1e-3, np.float32)
     hsml = np.where(new_star, 80.0, 40.0).astype(np.float32)
