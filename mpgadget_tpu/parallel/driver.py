@@ -161,7 +161,7 @@ def spawn_rows(st, gas, make_star, convert, star_mass, atime):
     st["ptype"] = jnp.where(convert, 4, st["ptype"])
     put("ptype", jnp.full(n, 4, st["ptype"].dtype))
     for k in ("ipos", "vel", "hsml", "dt_hsml", "amag", "grav_acc",
-              "dtent", "density", "metals"):
+              "dtent", "density", "metals", "pm_acc", "bins"):
         if k in st:
             put(k, st[k])
     if "star_hsml" in st:
@@ -196,13 +196,121 @@ def spawn_rows(st, gas, make_star, convert, star_mass, atime):
     return st, gas, nspawn, overflow
 
 
+MAXB = 46     # static timebin-table size == TIMEBINS (timeline.py:17);
+              # bins live in [1, maxbin<=MAXB]
+
+
+def assign_bins_global(state, with_gas, atime, eta_eps, hubble,
+                       courant_fac, fac3, max_dloga, dloga_tick,
+                       maxbin):
+    """Per-particle power-of-two timebins from the gravity +
+    Courant/Hsml criteria (find_timesteps, timestep.c:298-503) on the
+    SHARDED state — pure elementwise math, so it runs directly on the
+    P('x') global arrays with sharding propagation (no shard_map)."""
+    atime = jnp.float32(atime)
+    full = (state["grav_acc"] + state["pm_acc"]) / (atime * atime)
+    ac = jnp.sqrt(jnp.maximum(jnp.sum(full * full, axis=-1), 1e-60))
+    dloga = jnp.sqrt(jnp.float32(eta_eps) / ac) * jnp.float32(hubble)
+    if with_gas:
+        gas = state["gas_mask"] & state["valid"]
+        vsig = jnp.maximum(state["maxsig"], 1e-30)
+        dt_c = 2.0 * jnp.float32(courant_fac) * atime \
+            * state["hsml"] / (jnp.float32(fac3) * vsig)
+        dt_h = jnp.float32(courant_fac) * atime * atime * jnp.abs(
+            state["hsml"] / (state["dt_hsml"] + 1e-20))
+        dloga_h = jnp.minimum(dt_c, dt_h) * jnp.float32(hubble)
+        dloga = jnp.where(gas, jnp.minimum(dloga, dloga_h), dloga)
+    dloga = jnp.minimum(dloga, jnp.float32(max_dloga))
+    dti = dloga / jnp.float32(dloga_tick)
+    bins = jnp.floor(jnp.log2(jnp.maximum(dti, 2.0))).astype(jnp.int32)
+    bins = jnp.clip(bins, 1, jnp.int32(maxbin))
+    return jnp.where(state["valid"], bins, jnp.int32(maxbin))
+
+
+def build_sharded_pm(mesh, *, n_local, hops_pm, nmesh, boxsize, gconst,
+                     asmth, hist_bits=12, nbins=0, with_nu=False,
+                     with_gas=True):
+    """PM refresh + boundary half kick for hierarchical stepping
+    (compute_forces(tree=False) + apply_PM_half_kick, run.c:605 /
+    timestep.c at scale).
+
+    fn(st, scal) -> (upd, stats, pm_far_count): st holds {ipos, vel,
+    mass, valid, ptype, grav_acc, gas_mask, hsml} P('x'); scal holds
+    replicated {fac (closing gravkick factor), ...nu tables}.  upd =
+    {pm_acc, vel, amag}; stats carry the displacement-criterion
+    reductions (vsum/count/min_mass per type), the x histogram for
+    rebalancing, n_valid and hmax."""
+    S = int(mesh.devices.size)
+    log2s = int(np.log2(S))
+
+    def pm_local(st, scal):
+        valid = st["valid"]
+        s_idx = lax.axis_index("x")
+        geo = (st["ipos"][:, 0] >> jnp.uint32(32 - log2s)).astype(
+            jnp.int32)
+        dring = jnp.abs(geo - s_idx)
+        dring = jnp.minimum(dring, S - dring)
+        pm_far = jnp.any(valid & (dring > hops_pm))
+        acc_pm, pk = pm_force_multi(
+            st["ipos"], jnp.where(valid, st["mass"], 0.0), nmesh,
+            boxsize, gconst, asmth, "x", hops_pm,
+            nu_logk=scal["nu_logk"] if with_nu else None,
+            nu_fac=scal["nu_fac"] if with_nu else None, nbins=nbins)
+        vel = st["vel"] + acc_pm * scal["fac"]
+        full = st["grav_acc"] + acc_pm
+        amag = jnp.sqrt(jnp.sum(full * full, axis=-1))
+        v2 = jnp.sum(vel * vel, axis=-1)
+        w = valid.astype(jnp.float32)
+        tid = jnp.where(valid, st["ptype"], 6)
+        vsum = jnp.zeros(7, jnp.float32).at[tid].add(v2 * w)[:6]
+        cnt = jnp.zeros(7, jnp.float32).at[tid].add(w)[:6]
+        mmin = jnp.full(7, jnp.inf, jnp.float32).at[tid].min(
+            jnp.where(valid, st["mass"], jnp.inf))[:6]
+        hist = count_histogram(st["ipos"], valid, "x", hist_bits)
+        if with_gas:
+            gas = st["gas_mask"] & valid
+            hmax = lax.pmax(jnp.max(jnp.where(gas, st["hsml"], 0.0)),
+                            "x")
+        else:
+            hmax = jnp.float32(0.0)
+        stats = {
+            "vsum": lax.psum(vsum, "x"),
+            "count": lax.psum(cnt, "x"),
+            "min_mass": lax.pmin(mmin, "x"),
+            "hist": hist,
+            "n_valid": lax.psum(jnp.sum(valid.astype(jnp.int32)), "x"),
+            "hmax": hmax,
+        }
+        if nbins:
+            stats["pk_p"], stats["pk_n"], stats["pk_k"], \
+                stats["pk_norm"] = pk
+        upd = {"pm_acc": acc_pm, "vel": vel, "amag": amag}
+        return upd, stats, lax.psum(pm_far.astype(jnp.int32), "x")
+
+    st_keys = ("ipos", "vel", "mass", "valid", "ptype", "grav_acc") \
+        + (("gas_mask", "hsml") if with_gas else ())
+    scal_keys = ["fac"] + (["nu_logk", "nu_fac"] if with_nu else [])
+    stat_keys = ["vsum", "count", "min_mass", "hist", "n_valid",
+                 "hmax"] + (["pk_p", "pk_n", "pk_k", "pk_norm"]
+                            if nbins else [])
+    fn = shard_map(
+        pm_local, mesh=mesh,
+        in_specs=({k: P("x") for k in st_keys},
+                  {k: P() for k in scal_keys}),
+        out_specs=({k: P("x") for k in ("pm_acc", "vel", "amag")},
+                   {k: P() for k in stat_keys}, P()),
+        check_vma=False)
+    return jax.jit(fn)
+
+
 def build_sharded_step(mesh, *, n_local, with_gas, hops_ghost, hops_pm,
                        bucket_cap, ghost_cap, tree_kwargs, dpar, hpar,
                        caps_d, caps_h, nmesh, boxsize, gconst, asmth,
                        rcut, min_egy_spec, strip_margin=1.6,
                        hist_bits=12, cooling_fn=None, sfr_fn=None,
                        wind_fn=None, extra_state_keys=(), nbins=0,
-                       with_nu=False):
+                       with_nu=False, hierarchical=False,
+                       active_block_cap=None):
     """Build the jitted production step.
 
     step(state, bounds, scal) -> (state', stats, flags) where
@@ -214,8 +322,26 @@ def build_sharded_step(mesh, *, n_local, with_gas, hops_ghost, hops_pm,
     stats: replicated dict — per-type v^2 sums/counts/min mass (PM
       displacement criterion), max |acc|, gas min hsml/vsig and
       |hsml/dt_hsml|, x histogram for rebalancing.
-    flags: replicated int bitmask (1=exchange 2=ghost 4=tree 8=density
-      16=hydro-pack 32=density-strip).
+    flags: replicated int32[8] vector of psum'd shard counts, one per
+      overflow class — [exchange, ghost, tree, density, hydro, strip,
+      pm-hops, spawn]; all-zero means the step is valid.
+
+    hierarchical=True builds the per-particle-timebin SUBSTEP instead
+    (the active-list KDK of timestep.c:298-503 at scale): state
+    additionally carries ``bins`` (int32 power-of-two timebins) and
+    ``pm_acc`` (the long-range field, kicked only by
+    build_sharded_pm at PM-interval boundaries; ``grav_acc`` is then
+    tree-only); scal additionally carries replicated MAXB+1 tables —
+    per-bin opening/closing kick factors gk/hk/dlg_{open,close},
+    dlg_full (each particle's own full-bin dloga for source terms),
+    alignment masks al_open/al_close at the substep's two clock
+    edges — plus eta_eps/courant_fac/fac3/max_dloga/dloga_tick/maxbin
+    for the on-device bin re-derivation.  Only rows CLOSING their bin
+    at the substep's end are force targets (tree target_active +
+    density target mask); flag slot 6 reports active-block compaction
+    overflow instead of pm-hops.  Extra stats: min_act_bin (the next
+    substep's dti exponent), bin_hist (population per bin, for the
+    host's active-block-cap choice), n_closing.
     """
     S = int(mesh.devices.size)
     log2s = int(np.log2(S))
@@ -233,13 +359,30 @@ def build_sharded_step(mesh, *, n_local, with_gas, hops_ghost, hops_pm,
             valid.shape, bool)
 
         # ---- opening half kick with carried forces ----
-        vel = st["vel"] + st["grav_acc"] * scal["dk1"]
-        if with_gas:
-            vel = vel + jnp.where(gas[:, None], st["hydro_acc"],
-                                  0.0) * scal["hk1"]
-            st["entropy"] = _entropy_update(
-                st["entropy"], st["dtent"], scal["dloga1"],
-                st["density"], min_egy_spec, scal["atime"], gas)
+        if hierarchical:
+            # per-bin half kick for rows whose bin interval OPENS at
+            # this substep's clock (apply_half_kick on the active
+            # list, timestep.c:520-600)
+            bins0 = jnp.clip(st["bins"], 1, MAXB)
+            act = valid & scal["al_open"][bins0]
+            gk1 = jnp.where(act, scal["gk_open"][bins0], 0.0)
+            vel = st["vel"] + st["grav_acc"] * gk1[:, None]
+            if with_gas:
+                gact = gas & act
+                hk1 = jnp.where(gact, scal["hk_open"][bins0], 0.0)
+                vel = vel + st["hydro_acc"] * hk1[:, None]
+                st["entropy"] = _entropy_update(
+                    st["entropy"], st["dtent"],
+                    scal["dlg_open"][bins0], st["density"],
+                    min_egy_spec, scal["atime"], gact)
+        else:
+            vel = st["vel"] + st["grav_acc"] * scal["dk1"]
+            if with_gas:
+                vel = vel + jnp.where(gas[:, None], st["hydro_acc"],
+                                      0.0) * scal["hk1"]
+                st["entropy"] = _entropy_update(
+                    st["entropy"], st["dtent"], scal["dloga1"],
+                    st["density"], min_egy_spec, scal["atime"], gas)
         st["vel"] = vel
 
         # ---- drift ----
@@ -284,28 +427,55 @@ def build_sharded_step(mesh, *, n_local, with_gas, hops_ghost, hops_pm,
         mass_a = cat(st["mass"], jnp.where(g_ok, ghosts[1], 0.0))
         valid_a = cat(valid, g_ok)
 
+        # ---- closing set (hierarchical): rows whose bin interval
+        # ends at this substep's far clock edge become force targets
+        if hierarchical:
+            bins = jnp.clip(st["bins"], 1, MAXB)
+            closing = valid & scal["al_close"][bins]
+
         # ---- tree short-range force (local+ghost rows) ----
         amag_a = cat(st["amag"], jnp.zeros(ng, jnp.float32))
-        res = tree_force(ipos_a, mass_a, valid_a, amag_a, **tree_kwargs)
-        acc_tree = res.accel[:n_local]
+        if hierarchical:
+            tmask_g = cat(closing, jnp.zeros(ng, bool))
+            res = tree_force(ipos_a, mass_a, valid_a, amag_a,
+                             target_active=tmask_g,
+                             active_block_cap=active_block_cap,
+                             **tree_kwargs)
+            st["grav_acc"] = jnp.where(closing[:, None],
+                                       res.accel[:n_local],
+                                       st["grav_acc"])
+            full_acc = st["grav_acc"] + st["pm_acc"]
+            st["amag"] = jnp.where(
+                closing,
+                jnp.sqrt(jnp.sum(full_acc * full_acc, axis=-1)),
+                st["amag"])
+            pk = None
+            pm_far = res.compact_overflow
+        else:
+            res = tree_force(ipos_a, mass_a, valid_a, amag_a,
+                             **tree_kwargs)
+            acc_tree = res.accel[:n_local]
 
-        # ---- PM long-range force (balanced rows, K_pm hops) ----
-        # rows whose geometric mesh slab is farther than hops_pm on the
-        # ring get no PM force: detect and flag (host raises hops_pm)
-        s_idx = lax.axis_index("x")
-        geo = (st["ipos"][:, 0] >> jnp.uint32(32 - log2s)).astype(
-            jnp.int32)
-        dring = jnp.abs(geo - s_idx)
-        dring = jnp.minimum(dring, S - dring)
-        pm_far = jnp.any(valid & (dring > hops_pm))
-        acc_pm, pk = pm_force_multi(
-            st["ipos"], jnp.where(valid, st["mass"], 0.0), nmesh,
-            boxsize, gconst, asmth, "x", hops_pm,
-            nu_logk=scal["nu_logk"] if with_nu else None,
-            nu_fac=scal["nu_fac"] if with_nu else None, nbins=nbins)
-        grav_acc = acc_tree + acc_pm
-        st["amag"] = jnp.sqrt(jnp.sum(grav_acc * grav_acc, axis=-1))
-        st["grav_acc"] = grav_acc
+            # ---- PM long-range force (balanced rows, K_pm hops) ----
+            # rows whose geometric mesh slab is farther than hops_pm
+            # on the ring get no PM force: detect and flag (host
+            # raises hops_pm)
+            s_idx = lax.axis_index("x")
+            geo = (st["ipos"][:, 0] >> jnp.uint32(32 - log2s)).astype(
+                jnp.int32)
+            dring = jnp.abs(geo - s_idx)
+            dring = jnp.minimum(dring, S - dring)
+            pm_far = jnp.any(valid & (dring > hops_pm))
+            acc_pm, pk = pm_force_multi(
+                st["ipos"], jnp.where(valid, st["mass"], 0.0), nmesh,
+                boxsize, gconst, asmth, "x", hops_pm,
+                nu_logk=scal["nu_logk"] if with_nu else None,
+                nu_fac=scal["nu_fac"] if with_nu else None,
+                nbins=nbins)
+            grav_acc = acc_tree + acc_pm
+            st["amag"] = jnp.sqrt(jnp.sum(grav_acc * grav_acc,
+                                          axis=-1))
+            st["grav_acc"] = grav_acc
 
         # per-flag shard counts (psum-safe, unlike a bitmask)
         dens_bad = jnp.bool_(False)
@@ -319,25 +489,43 @@ def build_sharded_step(mesh, *, n_local, with_gas, hops_ghost, hops_pm,
             hsml_a = cat(st["hsml"], ghosts[3])
             ev_a = cat(entvar, ghosts[4])
             gas_a = cat(gas, ghosts[5] & g_ok)
-            tmask = cat(jnp.ones(n_local, bool), jnp.zeros(ng, bool))
+            if hierarchical:
+                # only closing gas is a density target; everything
+                # stays a source (compute_hydro(active=...) analog)
+                gate = gas & closing
+                tmask = cat(closing, jnp.zeros(ng, bool))
+            else:
+                gate = gas
+                tmask = cat(jnp.ones(n_local, bool),
+                            jnp.zeros(ng, bool))
             dres, dflags = _density_all(
                 ipos_a, mass_a, gas_a, hsml_a, vel_a, vel_a, ev_a,
                 tmask, dpar, boxsize, caps_d["group"],
                 caps_d["nleaf"], caps_d["sr"], caps_d["ll"],
                 caps_d["src"], True, True, True)
-            hsml_n = jnp.where(gas, dres["hsml"][:n_local], st["hsml"])
+            hsml_n = jnp.where(gate, dres["hsml"][:n_local],
+                               st["hsml"])
             strip_bad = jnp.any(
                 gas & (hsml_n * jnp.float32(inv_box * 1.26) > w1))
             # (collected into the flag vector below)
             st["hsml"] = hsml_n
-            st["density"] = jnp.where(gas, dres["density"][:n_local],
+            st["density"] = jnp.where(gate, dres["density"][:n_local],
                                       st["density"])
             st["egywt"] = jnp.where(
-                gas, dres["egy_wt_density"][:n_local], st["egywt"])
-            st["divv"] = dres["div_vel"][:n_local]
-            st["curlv"] = dres["curl_vel"][:n_local]
-            st["dhsml_egy"] = dres["dhsml_egy_factor"][:n_local]
-            st["dt_hsml"] = jnp.where(gas, dres["dt_hsml"][:n_local],
+                gate, dres["egy_wt_density"][:n_local], st["egywt"])
+            if hierarchical:
+                st["divv"] = jnp.where(
+                    gate, dres["div_vel"][:n_local], st["divv"])
+                st["curlv"] = jnp.where(
+                    gate, dres["curl_vel"][:n_local], st["curlv"])
+                st["dhsml_egy"] = jnp.where(
+                    gate, dres["dhsml_egy_factor"][:n_local],
+                    st["dhsml_egy"])
+            else:
+                st["divv"] = dres["div_vel"][:n_local]
+                st["curlv"] = dres["curl_vel"][:n_local]
+                st["dhsml_egy"] = dres["dhsml_egy_factor"][:n_local]
+            st["dt_hsml"] = jnp.where(gate, dres["dt_hsml"][:n_local],
                                       st["dt_hsml"])
             dens_bad = jnp.any(jnp.stack([dflags["group"],
                                           dflags["pack"],
@@ -368,59 +556,134 @@ def build_sharded_step(mesh, *, n_local, with_gas, hops_ghost, hops_pm,
                 hpar, boxsize, caps_h["group"], caps_h["nleaf"],
                 caps_h["sr"], caps_h["ll"], caps_h["src"])
             st["hydro_acc"] = jnp.where(
-                gas[:, None], hres["hydro_accel"][:n_local], 0.0)
-            st["dtent"] = jnp.where(gas, hres["dt_entropy"][:n_local],
-                                    0.0)
+                gate[:, None], hres["hydro_accel"][:n_local],
+                jnp.where(gas[:, None], st["hydro_acc"], 0.0))
+            st["dtent"] = jnp.where(
+                gate, hres["dt_entropy"][:n_local],
+                jnp.where(gas, st["dtent"], 0.0))
             st["maxsig"] = jnp.where(
-                gas, hres["max_signal_vel"][:n_local], 0.0)
+                gate, hres["max_signal_vel"][:n_local],
+                jnp.where(gas, st["maxsig"], 0.0))
             hydro_bad = jnp.any(jnp.stack([hflags["group"],
                                            hflags["pack"],
                                            hflags["pair"]]))
             g2_bad = g2_ovf
 
         # ---- closing half kick with fresh forces ----
-        vel = st["vel"] + st["grav_acc"] * scal["dk2"]
-        if with_gas:
-            vel = vel + jnp.where(gas[:, None], st["hydro_acc"],
-                                  0.0) * scal["hk2"]
-            st["entropy"] = _entropy_update(
-                st["entropy"], st["dtent"], scal["dloga2"],
-                st["density"], min_egy_spec, scal["atime"], gas)
+        if hierarchical:
+            gk2 = jnp.where(closing, scal["gk_close"][bins], 0.0)
+            vel = st["vel"] + st["grav_acc"] * gk2[:, None]
+            if with_gas:
+                gcl = gas & closing
+                hk2 = jnp.where(gcl, scal["hk_close"][bins], 0.0)
+                vel = vel + st["hydro_acc"] * hk2[:, None]
+                st["entropy"] = _entropy_update(
+                    st["entropy"], st["dtent"],
+                    scal["dlg_close"][bins], st["density"],
+                    min_egy_spec, scal["atime"], gcl)
+        else:
+            vel = st["vel"] + st["grav_acc"] * scal["dk2"]
+            if with_gas:
+                vel = vel + jnp.where(gas[:, None], st["hydro_acc"],
+                                      0.0) * scal["hk2"]
+                st["entropy"] = _entropy_update(
+                    st["entropy"], st["dtent"], scal["dloga2"],
+                    st["density"], min_egy_spec, scal["atime"], gas)
         st["vel"] = vel
 
         # ---- Strang-split source terms ----
         nspawn = jnp.int32(0)
         spawn_ovf = jnp.bool_(False)
         sfr_sum = jnp.float32(0.0)
+        sm_sum = jnp.float32(0.0)
+        if hierarchical:
+            # each closing particle integrates its source terms over
+            # its OWN full bin interval (cooling_and_starformation on
+            # the active list, run.c:374-520 + timestep.c:298)
+            gas_src = gas & closing
+            scal_src = dict(scal)
+            scal_src["dloga_full"] = jnp.where(
+                gas_src, scal["dlg_full"][bins], 0.0)
+        else:
+            gas_src = gas
+            scal_src = scal
         if sfr_fn is not None:
             # cooling + eEOS + stochastic star formation on the shard's
             # rows (cooling_and_starformation, sfr_eff.c:187-330 —
             # pure row math; per-ID RNG keeps draws deterministic
             # under any domain split)
-            out = sfr_fn(st, gas, scal)
-            st["entropy"] = out["entropy"]
-            st["ne"] = out["ne"]
-            st["metallicity"] = out["metallicity"]
-            st["sfr"] = jnp.where(gas, out["sfr"], st["sfr"])
+            out = sfr_fn(st, gas_src, scal_src)
+            st["entropy"] = jnp.where(gas_src, out["entropy"],
+                                      st["entropy"])
+            st["ne"] = jnp.where(gas_src, out["ne"], st["ne"])
+            st["metallicity"] = jnp.where(gas_src, out["metallicity"],
+                                          st["metallicity"])
+            st["sfr"] = jnp.where(gas_src, out["sfr"], st["sfr"])
             sfr_sum = lax.psum(jnp.sum(st["sfr"]), "x")
+            # expected stellar mass formed this step (write_sfr col 2,
+            # sfr_eff.c:381)
+            sm_sum = lax.psum(
+                jnp.sum(jnp.where(gas_src, out["sm"], 0.0)), "x")
             if wind_fn is not None:
                 # subgrid winds kick the star-forming gas itself before
                 # spawning (winds_make_after_sf, winds.c:454)
-                vel_w, ent_w, delay_w = wind_fn(st, out, scal)
-                st["vel"] = vel_w
-                st["entropy"] = ent_w
-                st["delay_time"] = delay_w
+                vel_w, ent_w, delay_w = wind_fn(st, out, scal_src)
+                st["vel"] = jnp.where(gas_src[:, None], vel_w,
+                                      st["vel"])
+                st["entropy"] = jnp.where(gas_src, ent_w,
+                                          st["entropy"])
+                st["delay_time"] = jnp.where(gas_src, delay_w,
+                                             st["delay_time"])
             st, gas, nspawn, spawn_ovf = spawn_rows(
-                st, gas, out["make_star"], out["convert"],
+                st, gas, out["make_star"] & gas_src,
+                out["convert"] & gas_src,
                 out["star_mass"], scal["atime"])
             nspawn = lax.psum(nspawn, "x")
         elif cooling_fn is not None:
             # cooling_direct path of cooling_and_starformation
             ent_new, ne_new = cooling_fn(
                 st["ipos"], st["entropy"], st["density"], st["ne"],
-                st["metallicity"], gas, scal)
-            st["entropy"] = jnp.where(gas, ent_new, st["entropy"])
-            st["ne"] = jnp.where(gas, ne_new, st["ne"])
+                st["metallicity"], gas_src, scal_src)
+            st["entropy"] = jnp.where(gas_src, ent_new, st["entropy"])
+            st["ne"] = jnp.where(gas_src, ne_new, st["ne"])
+
+        # ---- bin re-derivation for rows closing their interval ----
+        # (find_timesteps per bin boundary, timestep.c:298-503): a bin
+        # may shrink freely at its own boundary but may only GROW when
+        # the new, longer interval is aligned with the far clock edge
+        # (is_timebin_active rule).
+        if hierarchical:
+            atime = scal["atime"]
+            full_acc = (st["grav_acc"] + st["pm_acc"]) \
+                / (atime * atime)
+            ac = jnp.sqrt(jnp.maximum(
+                jnp.sum(full_acc * full_acc, axis=-1), 1e-60))
+            dloga_p = jnp.sqrt(scal["eta_eps"] / ac) * scal["hubble"]
+            if with_gas:
+                vsig = jnp.maximum(st["maxsig"], 1e-30)
+                dt_c = 2.0 * scal["courant_fac"] * atime \
+                    * st["hsml"] / (scal["fac3"] * vsig)
+                dt_h = scal["courant_fac"] * atime * atime * jnp.abs(
+                    st["hsml"] / (st["dt_hsml"] + 1e-20))
+                dloga_h = jnp.minimum(dt_c, dt_h) * scal["hubble"]
+                dloga_p = jnp.where(gas, jnp.minimum(dloga_p,
+                                                     dloga_h),
+                                    dloga_p)
+            dloga_p = jnp.minimum(dloga_p, scal["max_dloga"])
+            dti_f = dloga_p / scal["dloga_tick"]
+            nb = jnp.floor(jnp.log2(jnp.maximum(dti_f, 2.0))).astype(
+                jnp.int32)
+            nb = jnp.clip(nb, 1, scal["maxbin"])
+            bins_cur = st["bins"]
+            bins_new = jnp.where(closing & (nb < bins_cur), nb,
+                                 bins_cur)
+            bins_new = jnp.where(
+                closing & (nb > bins_cur) & scal["al_close"][nb],
+                nb, bins_new)
+            st["bins"] = jnp.where(st["valid"],
+                                   jnp.clip(bins_new, 1,
+                                            scal["maxbin"]),
+                                   bins_new)
 
         # ---- psum'd timestep statistics ----
         valid = st["valid"]          # spawning may have added rows
@@ -456,9 +719,26 @@ def build_sharded_step(mesh, *, n_local, with_gas, hops_ghost, hops_pm,
             "hist": hist,
             "n_valid": lax.psum(jnp.sum(valid.astype(jnp.int32)), "x"),
             "sfr_sum": sfr_sum,
+            "sm_sum": sm_sum,
+            "star_mass_sum": lax.psum(jnp.sum(jnp.where(
+                valid & (st["ptype"] == 4), st["mass"], 0.0)), "x"),
             "n_spawned": nspawn,
         }
-        if nbins:
+        if hierarchical:
+            # next-substep scheduling: the active set at the far clock
+            # edge and the population per bin (the host sizes the
+            # active-block compaction cap from it)
+            bins_c = jnp.clip(st["bins"], 1, MAXB)
+            al_n = scal["al_close"][bins_c]
+            stats["min_act_bin"] = lax.pmin(jnp.min(
+                jnp.where(valid & al_n, bins_c, MAXB)), "x")
+            bh_loc = jnp.zeros(MAXB + 1, jnp.int32).at[
+                jnp.where(valid, bins_c, MAXB)].add(
+                valid.astype(jnp.int32))
+            stats["bin_hist"] = lax.psum(bh_loc, "x")
+            stats["n_closing"] = lax.psum(
+                jnp.sum(closing.astype(jnp.int32)), "x")
+        if nbins and not hierarchical:
             # psum'd in-line power spectrum (powerspectrum_add_mode);
             # the host finalizes with pm.gravity._finalize_power
             stats["pk_p"], stats["pk_n"], stats["pk_k"], \
@@ -470,6 +750,8 @@ def build_sharded_step(mesh, *, n_local, with_gas, hops_ghost, hops_pm,
 
     state_keys = ["ipos", "vel", "mass", "valid", "pid", "ptype",
                   "amag", "grav_acc"]
+    if hierarchical:
+        state_keys += ["bins", "pm_acc"]
     if with_gas:
         state_keys += ["gas_mask", "hsml", "entropy", "dtent",
                        "density", "egywt", "divv", "curlv",
@@ -483,17 +765,27 @@ def build_sharded_step(mesh, *, n_local, with_gas, hops_ghost, hops_pm,
     in_state_spec = {k: P("x") for k in state_keys}
     stats_keys = ["vsum", "count", "min_mass", "max_acc",
                   "min_h_over_sig", "min_h_over_dth", "hist",
-                  "n_valid", "hmax", "sfr_sum", "n_spawned"]
-    if nbins:
+                  "n_valid", "hmax", "sfr_sum", "sm_sum",
+                  "star_mass_sum", "n_spawned"]
+    if hierarchical:
+        stats_keys += ["min_act_bin", "bin_hist", "n_closing"]
+    if nbins and not hierarchical:
         stats_keys += ["pk_p", "pk_n", "pk_k", "pk_norm"]
     stats_spec = {k: P() for k in stats_keys}
-    scal_keys = ["dk1", "hk1", "dloga1", "ddrift", "dk2", "hk2",
-                 "dloga2", "dloga_full", "atime", "hubble"]
+    if hierarchical:
+        scal_keys = ["ddrift", "dloga_full", "atime", "hubble",
+                     "gk_open", "hk_open", "dlg_open", "gk_close",
+                     "hk_close", "dlg_close", "dlg_full", "al_open",
+                     "al_close", "eta_eps", "courant_fac", "fac3",
+                     "max_dloga", "dloga_tick", "maxbin"]
+    else:
+        scal_keys = ["dk1", "hk1", "dloga1", "ddrift", "dk2", "hk2",
+                     "dloga2", "dloga_full", "atime", "hubble"]
     if cooling_fn is not None or sfr_fn is not None:
         scal_keys += ["redshift", "uvbg"]
     if sfr_fn is not None:
         scal_keys += ["rng"]
-    if with_nu:
+    if with_nu and not hierarchical:
         scal_keys += ["nu_logk", "nu_fac"]
     scal_spec = {k: P() for k in scal_keys}
     fn = shard_map(step_local, mesh=mesh,

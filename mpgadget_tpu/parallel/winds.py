@@ -44,11 +44,12 @@ def build_sharded_winds(mesh, *, n_local, nstar_cap, par: WindParams,
 
     fn(st, scal) -> (upd dict P('x'), stats replicated): st holds
     {ipos, vel, mass, valid, pid, ptype, hsml, entropy, density,
-    delay_time, gas_mask, formation_time}; scal holds {atime,
-    rng_wind}.  New stars are rows with ptype==4 and
-    formation_time == atime (spawned/converted THIS step; spawn_rows
-    stamps scal["atime"]).  Returns updates for vel/entropy/
-    delay_time and stats {n_new, n_kicked, ovf}.
+    delay_time, gas_mask, formation_time}; scal holds {atime, dtime,
+    aform_min, rng_wind}.  New stars are rows with ptype==4 and
+    formation_time >= aform_min (spawned/converted since the interval
+    opened; spawn_rows stamps the spawn-time scale factor).  Returns
+    updates for vel/entropy/delay_time and stats {n_new, n_kicked,
+    ovf}.
     """
     S = int(mesh.devices.size)
     G = S * nstar_cap
@@ -64,8 +65,11 @@ def build_sharded_winds(mesh, *, n_local, nstar_cap, par: WindParams,
         atime = scal["atime"]
         valid = st["valid"]
         gas = st["gas_mask"] & valid
+        # stars formed inside (aform_min, now] are the kick sources;
+        # the hierarchical loop spawns at substep scale factors, so a
+        # simple == atime check would miss mid-interval stars
         new_star = valid & (st["ptype"] == 4) \
-            & (st["formation_time"] >= atime * (1.0 - 1e-6))
+            & (st["formation_time"] >= scal["aform_min"])
         eligible = gas & (st["delay_time"] <= 0)
         is_dm = valid & (st["ptype"] == 1)
         rows = jnp.arange(n_local, dtype=jnp.int32)
@@ -223,7 +227,8 @@ def build_sharded_winds(mesh, *, n_local, nstar_cap, par: WindParams,
     fn = shard_map(
         local, mesh=mesh,
         in_specs=({k: P("x") for k in st_keys},
-                  {k: P() for k in ("atime", "dtime", "rng_wind")}),
+                  {k: P() for k in ("atime", "dtime", "aform_min",
+                                    "rng_wind")}),
         out_specs=({k: P("x") for k in
                     ("vel", "entropy", "delay_time")},
                    {k: P() for k in ("n_new", "n_kicked", "ovf")}),

@@ -1284,7 +1284,8 @@ class Simulation:
         return n_sub
 
     def run_sharded(self, device_mesh, max_steps=None, verbose=True,
-                    rebalance=True):
+                    rebalance=True, hierarchical=False,
+                    compact_walks=True):
         """Production multi-device main loop (run.c:358-800 at scale).
 
         Drives parallel/driver.build_sharded_step: the full gas+DM
@@ -1298,11 +1299,24 @@ class Simulation:
         scale).  Boundaries are recomputed from the returned x
         histogram every step.
 
+        hierarchical=True: per-particle power-of-two timebins inside
+        the sharded driver (the sharded analog of step_hierarchical;
+        find_timesteps + the active-list KDK of timestep.c:298-503).
+        Each PM interval opens/closes with a long-range half kick from
+        a separate PM-refresh program; substeps advance the clock by
+        the minimum active bin and compute tree/SPH forces only for
+        rows closing their bin (compacted active-block walks), with
+        per-closing-bin cooling/SFR.  BH/winds/metal return stay at PM
+        cadence, exactly like the single-device hierarchical path.
+
         Sharded source terms: radiative cooling, SFR/eEOS with
         stochastic star spawning (per-ID RNG → domain-split
-        invariant draws) and subgrid fixed-efficiency winds.  Not yet
-        sharded: BH, metal return, and the neighbor-search wind models
-        (vs08/ofjt10); use the single-device loop for those configs."""
+        invariant draws), subgrid fixed-efficiency winds in-step, and
+        — as separate sharded programs after each step — the
+        neighbor-search wind models vs08/ofjt10 (parallel/winds.py),
+        black holes (parallel/blackhole.py) and stellar metal return
+        (parallel/metals.py).  Not sharded: BH min-potential
+        repositioning (needs the potential column; raises below)."""
         from .parallel.driver import build_sharded_step
         from .parallel.decomp import balanced_boundaries
         from .parallel.mesh import shard_particles
@@ -1385,6 +1399,14 @@ class Simulation:
                 "amag": pad(jnp.sqrt(jnp.sum(acc0 * acc0, axis=-1))),
                 "grav_acc": pad(acc0),
             }
+            if hierarchical:
+                # hierarchical stepping kicks tree and PM at different
+                # cadences: grav_acc is tree-only, pm_acc carries the
+                # long-range field between PM boundaries
+                state["grav_acc"] = pad(self.pdata.grav_accel)
+                state["pm_acc"] = pad(self.pdata.grav_pm)
+                state["bins"] = pad(jnp.ones(self.pdata.capacity,
+                                             jnp.int32), 1)
             if with_gas:
                 state.update(
                     gas_mask=pad(self.gas_mask, False),
@@ -1442,9 +1464,7 @@ class Simulation:
                     last_enrichment_myr=pad(
                         self.stars.last_enrichment_myr))
             if with_bh:
-                from .physics.blackhole import BhData
-                if getattr(self, "bh", None) is None:
-                    self.bh = BhData.zeros(self.pdata.capacity)
+                self._ensure_bh()
                 state.update(
                     bh_mass=pad(self.bh.bh_mass),
                     bh_mdot=pad(self.bh.mdot),
@@ -1476,8 +1496,11 @@ class Simulation:
                 uv = UVBG(*[scal["uvbg"][i] for i in range(7)])
                 if uvf is not None:
                     uv = local_uvbg(uv, uvf.zreion(ipos), redshift)
-                dt = jnp.full_like(u, scal["dloga_full"]
-                                   / scal["hubble"])
+                # dloga_full is a scalar (global-dt) or a per-row
+                # array (hierarchical per-bin intervals)
+                dt = jnp.broadcast_to(
+                    jnp.asarray(scal["dloga_full"] / scal["hubble"],
+                                u.dtype), u.shape)
                 u_new, ne2 = do_cooling(cr, redshift, u, rho_phys, dt,
                                         uv, ne, met, min_egy, cu)
                 ent_new = GAMMA_MINUS1 * u_new \
@@ -1590,7 +1613,7 @@ class Simulation:
 
         steps_cache = {}
 
-        def get_step(bounds):
+        def get_step(bounds, acap=None):
             w1 = max(rcut_box, hmax_box * bp["strip_margin"])
             hops_g = hops_for(bounds, w1)
             hops_pm = pm_hops_for(bounds)
@@ -1598,7 +1621,7 @@ class Simulation:
             n_rows = n_local + n_strips * bp["ghost_cap"]
             key = (hops_g, hops_pm, bp["ghost_cap"], bp["bucket_cap"],
                    bp["ll"], bp["src"], round(bp["strip_margin"], 3),
-                   bp["tree_boost"])
+                   bp["tree_boost"], acap)
             if key not in steps_cache:
                 tree_kwargs = tg.force_kwargs(n_rows * bp["tree_boost"])
                 tree_kwargs["with_potential"] = False
@@ -1630,6 +1653,7 @@ class Simulation:
                     strip_margin=bp["strip_margin"],
                     hist_bits=hist_bits, cooling_fn=cooling_fn,
                     sfr_fn=sfr_fn, wind_fn=wind_fn,
+                    hierarchical=hierarchical, active_block_cap=acap,
                     extra_state_keys=(
                         (("metals", "star_hsml",
                           "total_mass_returned",
@@ -1639,6 +1663,21 @@ class Simulation:
                             "bh_mtrack", "bh_progs", "bh_ke",
                             "bh_vdisp") if with_bh else ())))[0]
             return steps_cache[key]
+
+        pm_cache = {}
+
+        def get_pm_fn(bounds):
+            """PM-refresh program for hierarchical intervals
+            (build_sharded_pm), keyed on the hop count."""
+            from .parallel.driver import build_sharded_pm
+            hops_pm = pm_hops_for(bounds)
+            if hops_pm not in pm_cache:
+                pm_cache[hops_pm] = build_sharded_pm(
+                    device_mesh, n_local=n_local, hops_pm=hops_pm,
+                    nmesh=self.cfg.nmesh, boxsize=self.cfg.boxsize,
+                    gconst=self.CP.GravInternal, asmth=self.cfg.asmth,
+                    hist_bits=hist_bits, with_gas=with_gas)
+            return pm_cache[hops_pm]
 
         windnb_cache = {}
         windnb_bp = {"nstar_cap": 64}
@@ -1709,10 +1748,12 @@ class Simulation:
                     margin=bp["strip_margin"])
             return metal_cache[key]
 
-        def dloga_from_stats(stats, atime):
+        def dloga_from_stats(stats, atime, pm_only=False):
             """The host timestep policy from psum'd statistics
             (get_long_range_timestep_dloga + accel + Courant,
-            timestep.c:1063-1300)."""
+            timestep.c:1063-1300).  pm_only=True keeps only the max
+            RMS displacement criterion — the hierarchical loop's PM
+            interval; accel/Courant then live in per-particle bins."""
             par = self.cfg.timestep
             hubble = self.CP.hubble_function(atime)
             dloga = par.MaxSizeTimestep
@@ -1735,6 +1776,8 @@ class Simulation:
                       * atime * min(asmth_len, dmean) / vrms)
                 if t != self.cfg.fast_particle_type:
                     dloga = min(dloga, d1)
+            if pm_only:
+                return max(dloga, par.MinSizeTimestep)
             amax = float(stats["max_acc"])
             if amax > 0 and self.cfg.tree_grav_on:
                 eta_eps = (2 * par.ErrTolIntAccuracy * atime
@@ -1794,7 +1837,11 @@ class Simulation:
                 mass=take("mass"), valid=take("valid"),
                 pid=take("pid"), ptype=take("ptype"),
                 grav_accel=take("grav_acc"))
-            upd["grav_pm"] = jnp.zeros_like(upd["grav_accel"])
+            if hierarchical:
+                upd["grav_pm"] = take("pm_acc")
+                upd["timebin"] = take("bins")
+            else:
+                upd["grav_pm"] = jnp.zeros_like(upd["grav_accel"])
             if with_gas:
                 upd["hsml"] = take("hsml")
                 upd["dt_hsml"] = take("dt_hsml")
@@ -1847,6 +1894,408 @@ class Simulation:
                     count_progs=take("bh_progs"),
                     kinetic_energy=take("bh_ke"),
                     vdisp=take("bh_vdisp"))
+
+        loga = self.timeline.loga_from_ti
+
+        def apply_wind_neighbors(t0, t1, a1, key):
+            # vs08/ofjt10: kick gas neighbors of the stars formed
+            # inside [t0, t1] (winds.c:299-567 via parallel/winds.py)
+            nonlocal state
+            a0w = float(np.exp(loga(t0)))
+            dloga_f = float(loga(t1) - loga(t0))
+            hub1 = float(self.CP.hubble_function(a1))
+            scal_w = {
+                "atime": jnp.float32(a1),
+                "dtime": jnp.float32(dloga_f / hub1),
+                "aform_min": jnp.float32(a0w * (1.0 + 1e-7)),
+                "rng_wind": jax.random.fold_in(key, 77),
+            }
+            w_keys = ("ipos", "vel", "mass", "valid", "pid",
+                      "ptype", "hsml", "entropy", "density",
+                      "delay_time", "gas_mask", "formation_time")
+            for w_try in range(6):
+                sub = {k: state[k] for k in w_keys}
+                w_upd, w_stats = get_windnb_fn()(sub, scal_w)
+                if not int(w_stats["ovf"]):
+                    state.update(w_upd)
+                    return
+                windnb_bp["nstar_cap"] = min(
+                    2 * windnb_bp["nstar_cap"], n_local)
+            from .utils.log import endrun
+            endrun(5, "sharded winds: star-slot retries exhausted")
+
+        def apply_bh_interval(t0, t1, a1, n_valid_f):
+            # Strang-split BH accretion/swallowing/feedback/mergers on
+            # the sharded state (blackhole.c:216-360 via
+            # parallel/blackhole.py)
+            nonlocal state
+            dloga_f = float(loga(t1) - loga(t0))
+            hub1 = float(self.CP.hubble_function(a1))
+            nv = max(float(n_valid_f), 1.0)
+            soft = self.cfg.gravity_softening * self.cfg.boxsize \
+                / max(round(nv ** (1.0 / 3)), 1)
+            scal_bh = {
+                "atime": jnp.float32(a1),
+                "dtime": jnp.float32(dloga_f / hub1),
+                "rng_bh": jax.random.PRNGKey(
+                    (self.cfg.random_seed + self.ti_current + 5)
+                    % (2 ** 31)),
+                "bh_soft": jnp.float32(soft),
+            }
+            bh_keys = ("ipos", "vel", "mass", "valid", "pid",
+                       "ptype", "hsml", "entropy", "density",
+                       "gas_mask", "grav_acc", "bh_mass",
+                       "bh_mdot", "bh_density", "bh_mtrack",
+                       "bh_progs", "bh_ke", "bh_vdisp")
+            for b_try in range(6):
+                sub = {k: state[k] for k in bh_keys}
+                if hierarchical:
+                    # the BH merger boundness check wants the FULL
+                    # acceleration; grav_acc is tree-only here
+                    sub["grav_acc"] = state["grav_acc"] \
+                        + state["pm_acc"]
+                b_upd, b_stats = get_bh_fn()(sub, scal_bh)
+                if not int(b_stats["ovf"]):
+                    if int(b_stats["n_bh"]) > 0:
+                        state.update(b_upd)
+                    return
+                bh_bp["nbh_cap"] = min(2 * bh_bp["nbh_cap"],
+                                       n_local)
+            from .utils.log import endrun
+            endrun(4, "sharded BH: slot-capacity retries exhausted")
+
+        def apply_metals_interval(t0, t1, bounds_dev):
+            # Strang-split stellar return (metal_return.c:423 via
+            # parallel/metals.py)
+            nonlocal state
+            a0m = float(np.exp(loga(t0)))
+            a1m = float(np.exp(loga(t1)))
+            sub_keys = ("ipos", "mass", "hsml", "density",
+                        "metals", "birth_metallicity",
+                        "formation_time", "total_mass_returned",
+                        "last_enrichment_myr", "star_hsml")
+            for m_try in range(4):
+                sub = {k: state[k] for k in sub_keys}
+                sub["gas_mask"] = state["gas_mask"] \
+                    & state["valid"]
+                sub["star_mask"] = state["valid"] \
+                    & (state["ptype"] == 4)
+                m_upd, m_fl = get_metal_fn()(
+                    sub, bounds_dev, jnp.float32(a0m),
+                    jnp.float32(a1m))
+                if not (int(m_fl["ghost"])
+                        or int(m_fl["strip"])):
+                    state.update(
+                        {k: m_upd[k] for k in
+                         ("mass", "metals", "star_hsml",
+                          "total_mass_returned",
+                          "last_enrichment_myr")})
+                    # keep the scalar metallicity in sync with
+                    # the species column (sfr_eff.c convention:
+                    # Z = sum of species beyond H/He)
+                    state["metallicity"] = jnp.where(
+                        sub["gas_mask"],
+                        jnp.sum(m_upd["metals"][:, 2:], axis=1),
+                        state["metallicity"])
+                    return
+                if int(m_fl["ghost"]):
+                    bp["ghost_cap"] = min(2 * bp["ghost_cap"],
+                                          n_local)
+                if int(m_fl["strip"]):
+                    bp["strip_margin"] *= 1.5
+            from .utils.log import endrun
+            endrun(3, "sharded metal return: retries exhausted")
+
+        def write_sfr_line(stats):
+            # sfr.txt from the psum'd totals, the same 5-column
+            # reference layout the single-device loop writes
+            # (write_sfr, sfr_eff.c:381)
+            if not (with_sfr and jax.process_index() == 0):
+                return
+            sfr_tot = float(stats['sfr_sum'])
+            with open(os.path.join(self.cfg.output_dir,
+                                   "sfr.txt"), "a") as fh:
+                fh.write(f"{self.atime:g} "
+                         f"{float(stats['sm_sum']):g} "
+                         f"{sfr_tot:g} {sfr_tot:g} "
+                         f"{float(stats['star_mass_sum']):g}\n")
+
+        def sync_outputs():
+            # snapshot / FOF / BH seeding at sync points
+            # (run.c:605-727)
+            nonlocal state
+            sp = self.timeline.find_current_sync_point(
+                self.ti_current)
+            if sp is None or not sp.write_snapshot:
+                return
+            mirror_to_host()
+            # multi-host: the mirror is identical on every rank;
+            # rank 0 writes (NumWriters=1 policy, petaio.c:33-68)
+            if jax.process_index() == 0:
+                self.write_snapshot()
+            if sp.write_fof or (self.cfg.snapshot_with_fof
+                                and sp.write_snapshot):
+                # every rank computes the (identical) catalog and
+                # seeds deterministically; rank 0 saves it
+                cat = self.run_fof(save=(jax.process_index() == 0))
+                if self.cfg.black_hole_on:
+                    nseed = self.seed_black_holes_from_fof(cat)
+                    if nseed:
+                        # seeding converted host gas rows to BHs:
+                        # rebuild the device state from the
+                        # (just-mirrored) host arrays
+                        state = make_state()
+
+        if hierarchical:
+            # ---- per-particle timebin loop (timestep.c:298-503 at
+            # scale; the sharded analog of step_hierarchical) ----
+            from .timeline import get_timestep_bin
+            from .parallel.driver import MAXB
+            par_ts = self.cfg.timestep
+            npart0 = max(float(np.asarray(self.pdata.num_valid)), 1.0)
+            soft_h = 2.8 * self.cfg.gravity_softening \
+                * (self.cfg.boxsize / max(1.0, np.cbrt(npart0)))
+            group_sz = int(tg.tree_cfg.group_max)
+            pm_stats = None
+            nsteps = 0
+            self._force_evals = getattr(self, "_force_evals", 0)
+            self._hier_substeps = 0
+
+            def bin_tables(ti, dti_s, maxbin, a1s):
+                """Per-bin kick-factor/alignment tables for one
+                substep (apply_half_kick factors, timestep.c)."""
+                z = np.zeros(MAXB + 1, np.float32)
+                gko, hko, dlo = z.copy(), z.copy(), z.copy()
+                gkc, hkc, dlc, dlf = (z.copy(), z.copy(), z.copy(),
+                                      z.copy())
+                ti2 = ti + dti_s
+                for b in range(1, maxbin + 1):
+                    db = 1 << b
+                    if ti % db == 0:
+                        gko[b] = self.tf.gravkick(ti, ti + db // 2)
+                        hko[b] = self.tf.hydrokick(ti, ti + db // 2)
+                        dlo[b] = loga(ti + db // 2) - loga(ti)
+                    if ti2 % db == 0:
+                        gkc[b] = self.tf.gravkick(ti2 - db // 2, ti2)
+                        hkc[b] = self.tf.hydrokick(ti2 - db // 2, ti2)
+                        dlc[b] = loga(ti2) - loga(ti2 - db // 2)
+                        dlf[b] = loga(ti2) - loga(max(ti2 - db, 0))
+                al_o = np.array([ti % (1 << b) == 0
+                                 for b in range(MAXB + 1)])
+                al_c = np.array([ti2 % (1 << b) == 0
+                                 for b in range(MAXB + 1)])
+                hub = float(self.CP.hubble_function(a1s))
+                fac3 = a1s ** (3 * (1 - GAMMA) / 2.0)
+                scal = {
+                    "ddrift": jnp.float32(self.tf.drift(ti, ti2)),
+                    "dloga_full": jnp.float32(loga(ti2) - loga(ti)),
+                    "atime": jnp.float32(a1s),
+                    "hubble": jnp.float32(hub),
+                    "gk_open": jnp.asarray(gko),
+                    "hk_open": jnp.asarray(hko),
+                    "dlg_open": jnp.asarray(dlo),
+                    "gk_close": jnp.asarray(gkc),
+                    "hk_close": jnp.asarray(hkc),
+                    "dlg_close": jnp.asarray(dlc),
+                    "dlg_full": jnp.asarray(dlf),
+                    "al_open": jnp.asarray(al_o),
+                    "al_close": jnp.asarray(al_c),
+                    "eta_eps": jnp.float32(
+                        2 * par_ts.ErrTolIntAccuracy * a1s * soft_h),
+                    "courant_fac": jnp.float32(par_ts.CourantFac),
+                    "fac3": jnp.float32(fac3),
+                    "max_dloga": jnp.float32(par_ts.MaxSizeTimestep),
+                    "dloga_tick": jnp.float32(
+                        self.timeline._interval_dloga(ti)),
+                    "maxbin": jnp.int32(maxbin),
+                }
+                if with_cooling or with_sfr:
+                    z1 = 1.0 / a1s - 1.0
+                    uv = self._treecool.get_global_uvbg(z1)
+                    scal["redshift"] = jnp.float32(z1)
+                    scal["uvbg"] = jnp.asarray(
+                        [uv.gJH0, uv.gJHe0, uv.gJHep, uv.epsH0,
+                         uv.epsHe0, uv.epsHep, uv.self_shield_dens],
+                        jnp.float32)
+                if with_sfr:
+                    scal["rng"] = jax.random.PRNGKey(
+                        (self.cfg.random_seed + ti) % (2 ** 31))
+                return scal
+
+            def pick_acap(n_close_hint):
+                """Active-block compaction cap: conservative (each
+                closing row may occupy its own block), pow2-bucketed;
+                None disables compaction when the active set is not
+                small.  compact_walks=False keeps a single compiled
+                substep (each pow2 bucket is its own XLA program) at
+                the cost of walking inactive lanes."""
+                if n_close_hint is None or not compact_walks:
+                    return None
+                nb = (n_pad // S + group_sz - 1) // group_sz
+                want = max(4, min(nb, int(n_close_hint)))
+                cap = 1 << (want - 1).bit_length()
+                return cap if cap <= nb // 2 else None
+
+            while self.ti_current < self.timeline.ti_end:
+                t0 = self.ti_current
+                a0 = self.atime
+                if pm_stats is None:
+                    dti = self.find_pm_timestep()
+                else:
+                    dloga_pm = dloga_from_stats(pm_stats, a0,
+                                                pm_only=True)
+                    dti = get_pm_timestep_ti(dloga_pm, self.timeline,
+                                             t0, t0)
+                if dti <= 0:
+                    from .utils.log import endrun
+                    endrun(1, f"bad sharded PM timestep {dti}")
+                dti = min(dti, self.timeline.ti_end - t0)
+                t1 = t0 + dti
+                mid = t0 + dti // 2
+                # opening PM half kick with the carried field
+                # (apply_PM_half_kick; elementwise on sharded arrays)
+                state["vel"] = state["vel"] + state["pm_acc"] \
+                    * jnp.float32(self.tf.gravkick(t0, mid))
+                # per-particle bins from the carried full forces
+                maxbin = get_timestep_bin(dti)
+                tz = (t0 & -t0).bit_length() - 1 if t0 > 0 else 62
+                tzp = (dti & -dti).bit_length() - 1
+                maxbin = max(1, min(maxbin, tz, tzp, MAXB))
+                from .parallel.driver import assign_bins_global
+                state["bins"] = assign_bins_global(
+                    state, with_gas, a0,
+                    2 * par_ts.ErrTolIntAccuracy * a0 * soft_h,
+                    float(self.CP.hubble_function(a0)),
+                    par_ts.CourantFac,
+                    a0 ** (3 * (1 - GAMMA) / 2.0),
+                    par_ts.MaxSizeTimestep,
+                    float(self.timeline._interval_dloga(t0)), maxbin)
+                if par_ts.ForceEqualTimesteps:
+                    mb0 = int(jnp.min(jnp.where(
+                        state["valid"], state["bins"], maxbin)))
+                    state["bins"] = jnp.where(
+                        state["valid"], jnp.int32(mb0), state["bins"])
+                minb = int(jnp.min(jnp.where(
+                    state["valid"], state["bins"], jnp.int32(MAXB))))
+                ti = t0
+                n_close_hint = None   # first substep: all rows close
+                n_sub = 0
+                while ti < t1:
+                    dti_s = min(1 << minb, t1 - ti)
+                    a1s = float(np.exp(loga(ti + dti_s)))
+                    scal = bin_tables(ti, dti_s, maxbin, a1s)
+                    acap = pick_acap(n_close_hint)
+                    bounds_dev = jnp.asarray(bounds_np)
+                    for attempt in range(8):
+                        step = get_step(bounds_np, acap)
+                        new_state, stats, flags = step(
+                            state, bounds_dev, scal)
+                        fl = np.asarray(flags)
+                        if not fl.any():
+                            break
+                        if verbose:
+                            from .utils.log import message
+                            message("[sharded-hier] overflow counts "
+                                    f"{fl.tolist()}; retrying")
+                        if fl[0]:
+                            bp["bucket_cap"] = min(
+                                2 * bp["bucket_cap"], n_local)
+                            if rebalance:
+                                bounds_np = balanced_boundaries(
+                                    np.asarray(stats["hist"]), S)
+                                bounds_dev = jnp.asarray(bounds_np)
+                        if fl[1]:
+                            bp["ghost_cap"] = min(
+                                2 * bp["ghost_cap"], n_local)
+                        if fl[2]:
+                            bp["tree_boost"] *= 2
+                        if fl[3] or fl[4]:
+                            bp["ll"] *= 2
+                            bp["src"] *= 2
+                        if fl[5]:
+                            bp["strip_margin"] *= 1.5
+                            hm = float(stats["hmax"]) \
+                                / self.cfg.boxsize
+                            hmax_box = max(hmax_box, hm)
+                        if fl[6]:
+                            # active-block compaction overflow
+                            acap = (None if acap is None
+                                    else pick_acap(acap * 2 + 1))
+                        if len(fl) > 7 and fl[7] and rebalance:
+                            bounds_np = balanced_boundaries(
+                                np.asarray(stats["hist"]), S)
+                            bounds_dev = jnp.asarray(bounds_np)
+                    else:
+                        from .utils.log import endrun
+                        endrun(2, "sharded substep: capacity retries "
+                               f"exhausted (counts {fl.tolist()})")
+                    state = new_state
+                    ti += dti_s
+                    self.ti_current = ti
+                    n_sub += 1
+                    self._hier_substeps += 1
+                    self._force_evals += int(stats["n_closing"])
+                    if float(stats["sm_sum"]) > 0:
+                        write_sfr_line(stats)
+                    hm = float(stats["hmax"]) / self.cfg.boxsize
+                    if hm > 0:
+                        hmax_box = hm
+                    if rebalance:
+                        bounds_np = balanced_boundaries(
+                            np.asarray(stats["hist"]), S)
+                    minb = int(stats["min_act_bin"])
+                    if ti < t1:
+                        # exact closing count of the NEXT substep from
+                        # the bin populations (sizes the walk cap)
+                        bh = np.asarray(stats["bin_hist"])
+                        tc = ti + min(1 << minb, t1 - ti)
+                        n_close_hint = int(sum(
+                            int(bh[b]) for b in range(1, MAXB + 1)
+                            if tc % (1 << b) == 0))
+                # ---- PM refresh + closing half kick at t1 ----
+                a1 = float(np.exp(loga(t1)))
+                pm_sub_keys = ("ipos", "vel", "mass", "valid",
+                               "ptype", "grav_acc") + (
+                    ("gas_mask", "hsml") if with_gas else ())
+                for attempt in range(1 + S // 2):
+                    pm_fn = get_pm_fn(bounds_np)
+                    upd_pm, pm_stats, pm_far = pm_fn(
+                        {k: state[k] for k in pm_sub_keys},
+                        {"fac": jnp.float32(
+                            self.tf.gravkick(mid, t1))})
+                    if not int(pm_far):
+                        break
+                    bp["pm_extra"] += 1
+                else:
+                    from .utils.log import endrun
+                    endrun(6, "sharded PM: hop retries exhausted")
+                state.update(upd_pm)
+                nsteps += 1
+                # ---- interval-cadence source terms ----
+                if wind_neighbors:
+                    apply_wind_neighbors(
+                        t0, t1, a1, jax.random.PRNGKey(
+                            (self.cfg.random_seed + t0) % (2 ** 31)))
+                if with_bh:
+                    apply_bh_interval(t0, t1, a1,
+                                      float(pm_stats["n_valid"]))
+                if with_metals:
+                    apply_metals_interval(t0, t1,
+                                          jnp.asarray(bounds_np))
+                if rebalance:
+                    bounds_np = balanced_boundaries(
+                        np.asarray(pm_stats["hist"]), S)
+                sync_outputs()
+                if verbose:
+                    from .utils.log import message
+                    message(f"[sharded-hier step {nsteps}] "
+                            f"a={self.atime:.5f} "
+                            f"n={int(pm_stats['n_valid'])} "
+                            f"substeps={n_sub}")
+                if max_steps and nsteps >= max_steps:
+                    break
+            mirror_to_host()
+            return nsteps
 
         nsteps = 0
         stats = None
@@ -1901,7 +2350,7 @@ class Simulation:
                 step = get_step(bounds_np)
                 new_state, stats, flags = step(state, bounds_dev, scal)
                 # flags: per-flag shard counts [exchange, ghost, tree,
-                # density, hydro, strip, pm-hops]
+                # density, hydro, strip, pm-hops, spawn]
                 fl = np.asarray(flags)
                 if not fl.any():
                     break
@@ -1949,147 +2398,19 @@ class Simulation:
             self.ti_current = t1
             nsteps += 1
             if wind_neighbors:
-                # vs08/ofjt10: kick gas neighbors of the stars formed
-                # inside this step (winds.c:299-567 via
-                # parallel/winds.py; formation_time == atime marks
-                # them)
-                dloga_f = float(loga(t1) - loga(t0))
-                hub1 = float(self.CP.hubble_function(a1))
-                scal_w = {
-                    "atime": jnp.float32(a1),
-                    "dtime": jnp.float32(dloga_f / hub1),
-                    "rng_wind": jax.random.fold_in(scal["rng"], 77),
-                }
-                w_keys = ("ipos", "vel", "mass", "valid", "pid",
-                          "ptype", "hsml", "entropy", "density",
-                          "delay_time", "gas_mask", "formation_time")
-                for w_try in range(6):
-                    sub = {k: state[k] for k in w_keys}
-                    w_upd, w_stats = get_windnb_fn()(sub, scal_w)
-                    if not int(w_stats["ovf"]):
-                        state.update(w_upd)
-                        break
-                    windnb_bp["nstar_cap"] = min(
-                        2 * windnb_bp["nstar_cap"], n_local)
-                else:
-                    from .utils.log import endrun
-                    endrun(5, "sharded winds: star-slot retries "
-                           "exhausted")
+                apply_wind_neighbors(t0, t1, a1, scal["rng"])
             if with_bh:
-                # Strang-split BH accretion/swallowing/feedback/
-                # mergers on the sharded state (blackhole.c:216-360
-                # via parallel/blackhole.py; runs after the sharded
-                # SFR source terms rather than before — the two are
-                # Strang-split against the same step)
-                dloga_f = float(loga(t1) - loga(t0))
-                hub1 = float(self.CP.hubble_function(a1))
-                nv = max(float(stats["n_valid"]), 1.0)
-                soft = self.cfg.gravity_softening * self.cfg.boxsize \
-                    / max(round(nv ** (1.0 / 3)), 1)
-                scal_bh = {
-                    "atime": jnp.float32(a1),
-                    "dtime": jnp.float32(dloga_f / hub1),
-                    "rng_bh": jax.random.PRNGKey(
-                        (self.cfg.random_seed + self.ti_current + 5)
-                        % (2 ** 31)),
-                    "bh_soft": jnp.float32(soft),
-                }
-                bh_keys = ("ipos", "vel", "mass", "valid", "pid",
-                           "ptype", "hsml", "entropy", "density",
-                           "gas_mask", "grav_acc", "bh_mass",
-                           "bh_mdot", "bh_density", "bh_mtrack",
-                           "bh_progs", "bh_ke", "bh_vdisp")
-                for b_try in range(6):
-                    sub = {k: state[k] for k in bh_keys}
-                    b_upd, b_stats = get_bh_fn()(sub, scal_bh)
-                    if not int(b_stats["ovf"]):
-                        if int(b_stats["n_bh"]) > 0:
-                            state.update(b_upd)
-                        break
-                    bh_bp["nbh_cap"] = min(2 * bh_bp["nbh_cap"],
-                                           n_local)
-                else:
-                    from .utils.log import endrun
-                    endrun(4, "sharded BH: slot-capacity retries "
-                           "exhausted")
+                apply_bh_interval(t0, t1, a1, float(stats["n_valid"]))
             if with_metals:
-                # Strang-split stellar return at step cadence
-                # (metal_return.c:423 via parallel/metals.py)
-                a0m = float(np.exp(loga(t0)))
-                sub_keys = ("ipos", "mass", "hsml", "density",
-                            "metals", "birth_metallicity",
-                            "formation_time", "total_mass_returned",
-                            "last_enrichment_myr", "star_hsml")
-                for m_try in range(4):
-                    sub = {k: state[k] for k in sub_keys}
-                    sub["gas_mask"] = state["gas_mask"] \
-                        & state["valid"]
-                    sub["star_mask"] = state["valid"] \
-                        & (state["ptype"] == 4)
-                    m_upd, m_fl = get_metal_fn()(
-                        sub, bounds_dev, jnp.float32(a0m),
-                        jnp.float32(a1))
-                    if not (int(m_fl["ghost"])
-                            or int(m_fl["strip"])):
-                        state.update(
-                            {k: m_upd[k] for k in
-                             ("mass", "metals", "star_hsml",
-                              "total_mass_returned",
-                              "last_enrichment_myr")})
-                        # keep the scalar metallicity in sync with
-                        # the species column (sfr_eff.c convention:
-                        # Z = sum of species beyond H/He)
-                        state["metallicity"] = jnp.where(
-                            sub["gas_mask"],
-                            jnp.sum(m_upd["metals"][:, 2:], axis=1),
-                            state["metallicity"])
-                        break
-                    if int(m_fl["ghost"]):
-                        bp["ghost_cap"] = min(2 * bp["ghost_cap"],
-                                              n_local)
-                    if int(m_fl["strip"]):
-                        bp["strip_margin"] *= 1.5
-                else:
-                    from .utils.log import endrun
-                    endrun(3, "sharded metal return: retries "
-                           "exhausted")
-            if with_sfr and jax.process_index() == 0:
-                # sfr.txt from the psum'd totals, reference 5-column
-                # layout (stats.c:75-168); star mass via vsum-side
-                # type-4 count is not tracked, so column 5 carries the
-                # spawned-count this step instead
-                sfr_tot = float(stats['sfr_sum'])
-                with open(os.path.join(self.cfg.output_dir,
-                                       "sfr.txt"), "a") as fh:
-                    fh.write(f"{self.atime:g} 0 {sfr_tot:g} "
-                             f"{sfr_tot:g} "
-                             f"{int(stats['n_spawned'])}\n")
+                apply_metals_interval(t0, t1, bounds_dev)
+            write_sfr_line(stats)
             hm = float(stats["hmax"]) / self.cfg.boxsize
             if hm > 0:
                 hmax_box = hm
             if rebalance:
                 bounds_np = balanced_boundaries(
                     np.asarray(stats["hist"]), S)
-            sp = self.timeline.find_current_sync_point(self.ti_current)
-            if sp is not None and sp.write_snapshot:
-                mirror_to_host()
-                # multi-host: the mirror is identical on every rank;
-                # rank 0 writes (NumWriters=1 policy, petaio.c:33-68)
-                if jax.process_index() == 0:
-                    self.write_snapshot()
-                if sp.write_fof or (self.cfg.snapshot_with_fof
-                                    and sp.write_snapshot):
-                    # every rank computes the (identical) catalog and
-                    # seeds deterministically; rank 0 saves it
-                    cat = self.run_fof(
-                        save=(jax.process_index() == 0))
-                    if self.cfg.black_hole_on:
-                        nseed = self.seed_black_holes_from_fof(cat)
-                        if nseed:
-                            # seeding converted host gas rows to BHs:
-                            # rebuild the device state from the
-                            # (just-mirrored) host arrays
-                            state = make_state()
+            sync_outputs()
             if verbose:
                 from .utils.log import message
                 message(f"[sharded step {nsteps}] a={self.atime:.5f} "
@@ -2446,8 +2767,7 @@ class Simulation:
         nbh = int(jnp.sum(is_bh.astype(jnp.int32)))
         if nbh == 0:
             return
-        if getattr(self, "bh", None) is None:
-            self.bh = bhmod.BhData.zeros(self.pdata.capacity)
+        self._ensure_bh()
         par = self._bh_params()
         gas = self.gas_mask
         atime = self.atime
@@ -2670,6 +2990,25 @@ class Simulation:
         os.makedirs(d, exist_ok=True)
         with open(os.path.join(d, "BH-Details-R0"), "ab") as fh:
             fh.write(rec.tobytes())
+
+    def _ensure_bh(self):
+        """Lazily create BhData, giving IC black holes (type-5 rows
+        present at init without a BlackholeMass block — the block is
+        optional on read, petaio.c) the seed subgrid mass: Bondi
+        mdot ~ Mbh^2 would otherwise stay zero forever.  Mirrors the
+        restart-path guard above (slot restore)."""
+        from .physics import blackhole as bhmod
+        if getattr(self, "bh", None) is None:
+            self.bh = bhmod.BhData.zeros(self.pdata.capacity)
+        is_bh = self.pdata.valid & (self.pdata.ptype == 5)
+        fix = is_bh & (self.bh.bh_mass <= 0)
+        if bool(jnp.any(fix)):
+            self.bh = self.bh.replace(
+                bh_mass=jnp.where(
+                    fix, jnp.float32(self.cfg.bh_seed_mass),
+                    self.bh.bh_mass),
+                mtrack=jnp.where(fix, self.pdata.mass,
+                                 self.bh.mtrack))
 
     def seed_black_holes_from_fof(self, cat):
         from .physics import blackhole as bhmod
