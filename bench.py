@@ -125,9 +125,15 @@ def main():
     pdata = ParticleData.from_numpy(
         pos, np.zeros((n, 3)), np.ones(n), np.ones(n, np.int32),
         np.arange(n) + 1, boxsize)
+    from mpgadget_tpu.gravity.tree import TreeConfig
+    from mpgadget_tpu.gravity.treewalk import WalkConfig
+    gmax = int(os.environ.get("BENCH_GROUP", 256))
+    wchunk = int(os.environ.get("BENCH_WCHUNK", 2048))
     tg = TreeGravity(boxsize=boxsize, nmesh=nmesh, asmth=1.5, rcut=6,
                      G=43007.1, softening=2.8 * boxsize / ngrid / 30,
-                     tree_use_bh=0, with_potential=False)
+                     tree_use_bh=0, with_potential=False,
+                     tree_cfg=TreeConfig(group_max=gmax),
+                     walk_cfg=WalkConfig(walk_chunk=wchunk))
     kw = tg.force_kwargs(n)
 
     # ONE jitted graph for BENCH_BATCH whole KDK steps (tree + PM +

@@ -283,6 +283,26 @@ class BigBlock:
                                      + _bytesum(chunk)) & 0xFFFFFFFF
         self._write_header()
 
+    def write_stripe(self, i: int, data: np.ndarray) -> int:
+        """Write data file ``i`` in full and return its sysv byte sum
+        WITHOUT touching the shared header — the multi-writer path
+        (petaio.c:33-68 NumWriters analog): every writer owns whole
+        stripe files, and one rank calls ``finalize_checksums`` after
+        collecting the sums."""
+        data = np.ascontiguousarray(data, dtype=self.dtype)
+        flat = data.reshape(data.shape[0], self.nmemb)
+        assert flat.shape[0] == self.fsize[i], \
+            f"stripe {i} size mismatch: {flat.shape[0]} != {self.fsize[i]}"
+        with open(self._datafile(i), "wb") as fh:
+            fh.write(flat.tobytes())
+        return _bytesum(flat)
+
+    def finalize_checksums(self, sums):
+        """Record per-file byte sums gathered from the stripe writers
+        and rewrite the header once (single-writer header policy)."""
+        self.fchecksum = [int(s) & 0xFFFFFFFF for s in sums]
+        self._write_header()
+
     def __getitem__(self, idx):
         if isinstance(idx, slice):
             start, stop, step = idx.indices(self.size)

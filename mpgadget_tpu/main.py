@@ -95,6 +95,8 @@ def build_simulation(paramfile_or_ps, override=None, snapshot=None):
         escape_fraction_norm=ps["EscapeFractionNorm"],
         escape_fraction_scaling=ps["EscapeFractionScaling"],
         uvbg_timestep_myr=ps["UVBGTimestep"],
+        reion_use_particle_sfr=bool(ps["ReionUseParticleSFR"]),
+        reion_sfr_timescale=ps["ReionSFRTimescale"],
         excursion_set_zstart=ps["ExcursionSetZStart"],
         excursion_set_zstop=ps["ExcursionSetZStop"],
         qso_lightup_on=bool(ps["QSOLightupOn"]),

@@ -29,9 +29,13 @@ apply_blackholes`` (blackhole.c:216-360):
     slot list (greedy big-ID-claims-first, identical to the
     single-device ``bh_mergers``)         [blackhole.c:495-560]
 
-Not sharded: min-potential repositioning (needs the potential column,
-which the sharded driver does not carry) and FOF seeding (runs at
-sync points from the host mirror).
+Min-potential repositioning (``reposition=True``): the sharded driver
+carries the PM potential column (pm_force_multi with_potential); each
+shard scans its rows for the minimum-potential neighbor inside every
+BH's kernel and the global argmin is resolved exactly with a
+pmin + unique-pid tie-break — the blackhole_minpot_ngbiter +
+drift-jump analog (bhdynfric.c:199-231, drift.c:32-49).  FOF seeding
+runs at sync points through parallel/fof.build_seed_convert.
 """
 
 import numpy as np
@@ -56,7 +60,7 @@ def _tree_add(a, b):
 def build_sharded_bh(mesh, *, n_local, nbh_cap, par: BHParams,
                      boxsize, gconst, unit_time_in_s, hubble_param,
                      unit_velocity, uu_in_cgs, rho_crit_baryon,
-                     kernel_type=2, chunk=2048):
+                     kernel_type=2, chunk=2048, reposition=False):
     """Build the jitted sharded BH step.
 
     fn(st, scal) -> (upd dict P('x'), stats replicated) where st holds
@@ -373,6 +377,56 @@ def build_sharded_bh(mesh, *, n_local, nbh_cap, par: BHParams,
         bhm3_g = bhm_g + dbh_m
         progs3_g = progs_g + dpr_m
 
+        # ---- minimum-potential repositioning ----
+        # (blackhole_minpot_ngbiter + the drift jump, bhdynfric.c:199
+        # + drift.c:32-49): per-BH argmin of the carried PM potential
+        # over kernel neighbors of types 0/1/4/5, exact across shards
+        # via pmin + unique-pid tie-break.
+        if reposition:
+            src_mp = st["valid"] & ((ptype == 0) | (ptype == 1)
+                                    | (ptype == 4) | (ptype == 5))
+            pid_i64 = st["pid"].astype(jnp.int64)
+            big = jnp.int64(2 ** 62)
+
+            def minpot_chunk(carry, x):
+                ipos_c, pot_c, ok_c, pid_c = x
+                _, r = pair_geom(ipos_c)
+                inside = (r < hsml_g[None, :]) & ok_g[None, :] \
+                    & ok_c[:, None]
+                pc = jnp.where(inside, pot_c[:, None], jnp.inf)
+                am = jnp.argmin(pc, axis=0)              # (G,)
+                cmin = jnp.take_along_axis(
+                    pc, am[None, :], axis=0)[0]
+                cpos = ipos_c[am]                        # (G, 3) u32
+                cpid = jnp.where(jnp.isfinite(cmin), pid_c[am], big)
+                better = cmin < carry["pot"]
+                tie = (cmin == carry["pot"]) \
+                    & (cpid < carry["pid"])
+                use = better | tie
+                return {"pot": jnp.where(use, cmin, carry["pot"]),
+                        "ipos": jnp.where(use[:, None], cpos,
+                                          carry["ipos"]),
+                        "pid": jnp.where(use, cpid, carry["pid"])}, \
+                    None
+
+            carry0 = {"pot": jnp.full(G, jnp.inf, jnp.float32),
+                      "ipos": jnp.zeros((G, 3), jnp.uint32),
+                      "pid": jnp.full(G, big, jnp.int64)}
+            xs3 = row_chunks(st["ipos"], st["potential"], src_mp,
+                             pid_i64)
+            mp, _ = lax.scan(minpot_chunk, carry0, xs3)
+            gpot = lax.pmin(mp["pot"], "x")
+            cand = jnp.where(mp["pot"] == gpot, mp["pid"], big)
+            gpid = lax.pmin(cand, "x")
+            selm = (mp["pot"] == gpot) & (mp["pid"] == gpid)
+            gipos = lax.psum(
+                jnp.where(selm[:, None],
+                          mp["ipos"].astype(jnp.int64), 0), "x")
+            found_mp = ok_g & jnp.isfinite(gpot) & (gpid < big)
+            minpot_ipos = jnp.where(
+                found_mp[:, None], gipos, ipos_g.astype(jnp.int64)
+            ).astype(jnp.uint32)
+
         # ---- scatter my slots back to my local rows ----
         myslots = lax.dynamic_slice_in_dim(
             jnp.arange(G, dtype=jnp.int32), s_idx * nbh_cap, nbh_cap)
@@ -405,6 +459,8 @@ def build_sharded_bh(mesh, *, n_local, nbh_cap, par: BHParams,
                           take(jnp.where(keflag == 2, 0.0, ke_g))),
             "bh_vdisp": scat(st["bh_vdisp"], take(vdisp_g)),
         }
+        if reposition:
+            upd["ipos"] = scat(st["ipos"], take(minpot_ipos))
         stats = {
             "n_bh": jnp.sum(ok_g.astype(jnp.int32)),
             "n_swallowed": lax.psum(
@@ -420,10 +476,12 @@ def build_sharded_bh(mesh, *, n_local, nbh_cap, par: BHParams,
     st_keys = ("ipos", "vel", "mass", "valid", "pid", "ptype", "hsml",
                "entropy", "density", "gas_mask", "grav_acc",
                "bh_mass", "bh_mdot", "bh_density", "bh_mtrack",
-               "bh_progs", "bh_ke", "bh_vdisp")
+               "bh_progs", "bh_ke", "bh_vdisp") \
+        + (("potential",) if reposition else ())
     upd_keys = ("vel", "mass", "valid", "entropy", "bh_mass",
                 "bh_mdot", "bh_density", "bh_mtrack", "bh_progs",
-                "bh_ke", "bh_vdisp")
+                "bh_ke", "bh_vdisp") \
+        + (("ipos",) if reposition else ())
     stat_keys = ("n_bh", "n_swallowed", "n_merged", "ovf", "mdot_sum",
                  "bh_mass_total")
     scal_keys = ("atime", "dtime", "rng_bh", "bh_soft")

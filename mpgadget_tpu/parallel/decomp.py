@@ -98,9 +98,19 @@ def exchange_by_dest(arrays, dest, valid, axis_name, bucket_cap):
     send_overflow = jnp.any((dest_s < 2 ** 30) & (slot >= E))
     dst_flat = jnp.where(ok, dest_s * E + slot, S * E)
 
+    # receive capacity: S*E slots arrive; the output must keep EXACTLY
+    # n_loc rows (the caller's fixed local capacity).  When S*E < n_loc
+    # (small meshes / small bucket caps) pad the receive side so
+    # ``order2[:n_loc]`` cannot silently SHRINK the arrays — shrinking
+    # produced a trace-time shape error at S<=2 and would otherwise
+    # drop rows.
+    n_rx_pad = max(0, n_loc - S * E)
     send_valid = jnp.zeros(S * E, bool).at[dst_flat].set(
         ok, mode="drop")
     recv_valid = lax.all_to_all(send_valid, axis_name, 0, 0, tiled=True)
+    if n_rx_pad:
+        recv_valid = jnp.concatenate(
+            [recv_valid, jnp.zeros(n_rx_pad, bool)])
     total = jnp.sum(recv_valid.astype(jnp.int32))
     recv_overflow = total > n_loc
     order2 = jnp.argsort(~recv_valid)            # valid rows first
@@ -111,6 +121,10 @@ def exchange_by_dest(arrays, dest, valid, axis_name, bucket_cap):
         send = jnp.zeros((S * E,) + leaf.shape[1:], leaf.dtype)
         send = send.at[dst_flat].set(leaf[perm], mode="drop")
         recv = lax.all_to_all(send, axis_name, 0, 0, tiled=True)
+        if n_rx_pad:
+            recv = jnp.concatenate(
+                [recv, jnp.zeros((n_rx_pad,) + leaf.shape[1:],
+                                 leaf.dtype)])
         return recv[keep]
 
     arrays_out = jax.tree_util.tree_map(move, arrays)

@@ -36,7 +36,7 @@ from .pfft import pm_force_slab, cic_deposit_slab, cic_readout_slab
 
 def pm_force_multi(ipos, weights, nmesh, boxsize, gconst, asmth,
                    axis_name, hops, nu_logk=None, nu_fac=None,
-                   nbins=0):
+                   nbins=0, with_potential=False):
     """Sharded PM force for rows that may live up to ``hops`` geometric
     slabs away from their holder (count-balanced ownership).
 
@@ -52,7 +52,9 @@ def pm_force_multi(ipos, weights, nmesh, boxsize, gconst, asmth,
     (potential_transfer, gravpm.c:415-436).  nbins > 0 additionally
     bins the in-line total-matter power spectrum per slab and psums
     the bins (powerspectrum_add_mode at scale); returns
-    (accel, (p, n, k, norm) or None).
+    (accel, (p, n, k, norm) or None) — plus per-row PM potential when
+    ``with_potential`` (one extra inverse FFT; the pdata.potential
+    analog used by BH min-pot repositioning).
     """
     from ..pm.gravity import (potential_transfer_fac,
                               force_transfer_fac, _bin_reduce)
@@ -111,6 +113,8 @@ def pm_force_multi(ipos, weights, nmesh, boxsize, gconst, asmth,
         fk = pot_k * (1j * force_transfer_fac(kk, nmesh, boxsize)
                       ).astype(jnp.complex64)
         meshes.append(pencil_c2r(fk, axis_name))
+    if with_potential:
+        meshes.append(pencil_c2r(pot_k, axis_name))
     stacked = jnp.stack(meshes, axis=-1).astype(jnp.float32)
     acc_all = cic_readout_slab(stacked, ipos_all, axis_name)
 
@@ -121,6 +125,8 @@ def pm_force_multi(ipos, weights, nmesh, boxsize, gconst, asmth,
         # rows gathered with shift sh came from shard s-sh; their accel
         # contribution returns with the inverse shift.
         acc = acc + ring_shift(part, axis_name, -sh)
+    if with_potential:
+        return acc[:, :3], pk, acc[:, 3]
     return acc, pk
 
 
@@ -229,7 +235,7 @@ def assign_bins_global(state, with_gas, atime, eta_eps, hubble,
 
 def build_sharded_pm(mesh, *, n_local, hops_pm, nmesh, boxsize, gconst,
                      asmth, hist_bits=12, nbins=0, with_nu=False,
-                     with_gas=True):
+                     with_gas=True, with_potential=False):
     """PM refresh + boundary half kick for hierarchical stepping
     (compute_forces(tree=False) + apply_PM_half_kick, run.c:605 /
     timestep.c at scale).
@@ -251,11 +257,13 @@ def build_sharded_pm(mesh, *, n_local, hops_pm, nmesh, boxsize, gconst,
         dring = jnp.abs(geo - s_idx)
         dring = jnp.minimum(dring, S - dring)
         pm_far = jnp.any(valid & (dring > hops_pm))
-        acc_pm, pk = pm_force_multi(
+        res_pm = pm_force_multi(
             st["ipos"], jnp.where(valid, st["mass"], 0.0), nmesh,
             boxsize, gconst, asmth, "x", hops_pm,
             nu_logk=scal["nu_logk"] if with_nu else None,
-            nu_fac=scal["nu_fac"] if with_nu else None, nbins=nbins)
+            nu_fac=scal["nu_fac"] if with_nu else None, nbins=nbins,
+            with_potential=with_potential)
+        acc_pm, pk = res_pm[0], res_pm[1]
         vel = st["vel"] + acc_pm * scal["fac"]
         full = st["grav_acc"] + acc_pm
         amag = jnp.sqrt(jnp.sum(full * full, axis=-1))
@@ -285,6 +293,8 @@ def build_sharded_pm(mesh, *, n_local, hops_pm, nmesh, boxsize, gconst,
             stats["pk_p"], stats["pk_n"], stats["pk_k"], \
                 stats["pk_norm"] = pk
         upd = {"pm_acc": acc_pm, "vel": vel, "amag": amag}
+        if with_potential:
+            upd["potential"] = res_pm[2]
         return upd, stats, lax.psum(pm_far.astype(jnp.int32), "x")
 
     st_keys = ("ipos", "vel", "mass", "valid", "ptype", "grav_acc") \
@@ -293,11 +303,13 @@ def build_sharded_pm(mesh, *, n_local, hops_pm, nmesh, boxsize, gconst,
     stat_keys = ["vsum", "count", "min_mass", "hist", "n_valid",
                  "hmax"] + (["pk_p", "pk_n", "pk_k", "pk_norm"]
                             if nbins else [])
+    upd_keys = ["pm_acc", "vel", "amag"] \
+        + (["potential"] if with_potential else [])
     fn = shard_map(
         pm_local, mesh=mesh,
         in_specs=({k: P("x") for k in st_keys},
                   {k: P() for k in scal_keys}),
-        out_specs=({k: P("x") for k in ("pm_acc", "vel", "amag")},
+        out_specs=({k: P("x") for k in upd_keys},
                    {k: P() for k in stat_keys}, P()),
         check_vma=False)
     return jax.jit(fn)
@@ -310,7 +322,7 @@ def build_sharded_step(mesh, *, n_local, with_gas, hops_ghost, hops_pm,
                        hist_bits=12, cooling_fn=None, sfr_fn=None,
                        wind_fn=None, extra_state_keys=(), nbins=0,
                        with_nu=False, hierarchical=False,
-                       active_block_cap=None):
+                       active_block_cap=None, with_potential=False):
     """Build the jitted production step.
 
     step(state, bounds, scal) -> (state', stats, flags) where
@@ -466,12 +478,21 @@ def build_sharded_step(mesh, *, n_local, with_gas, hops_ghost, hops_pm,
             dring = jnp.abs(geo - s_idx)
             dring = jnp.minimum(dring, S - dring)
             pm_far = jnp.any(valid & (dring > hops_pm))
-            acc_pm, pk = pm_force_multi(
+            res_pm = pm_force_multi(
                 st["ipos"], jnp.where(valid, st["mass"], 0.0), nmesh,
                 boxsize, gconst, asmth, "x", hops_pm,
                 nu_logk=scal["nu_logk"] if with_nu else None,
                 nu_fac=scal["nu_fac"] if with_nu else None,
-                nbins=nbins)
+                nbins=nbins, with_potential=with_potential)
+            acc_pm, pk = res_pm[0], res_pm[1]
+            if with_potential:
+                # total potential = long-range PM + short-range tree
+                # (P.Potential semantics, gravshort-tree.c:137) — the
+                # kernel-scale min-pot argmin needs the tree part.
+                # tree_force returns box-unit potential; scale by
+                # G/box like TreeGravity.compute.
+                st["potential"] = res.potential[:n_local] \
+                    * jnp.float32(gconst / boxsize) + res_pm[2]
             grav_acc = acc_tree + acc_pm
             st["amag"] = jnp.sqrt(jnp.sum(grav_acc * grav_acc,
                                           axis=-1))
@@ -640,10 +661,10 @@ def build_sharded_step(mesh, *, n_local, with_gas, hops_ghost, hops_pm,
                 out["star_mass"], scal["atime"])
             nspawn = lax.psum(nspawn, "x")
         elif cooling_fn is not None:
-            # cooling_direct path of cooling_and_starformation
-            ent_new, ne_new = cooling_fn(
-                st["ipos"], st["entropy"], st["density"], st["ne"],
-                st["metallicity"], gas_src, scal_src)
+            # cooling_direct path of cooling_and_starformation;
+            # cooling_fn sees the whole row dict so per-row UV fields
+            # (patchy zreion, excursion-set J21) can modulate rates
+            ent_new, ne_new = cooling_fn(st, gas_src, scal_src)
             st["entropy"] = jnp.where(gas_src, ent_new, st["entropy"])
             st["ne"] = jnp.where(gas_src, ne_new, st["ne"])
 
@@ -752,6 +773,8 @@ def build_sharded_step(mesh, *, n_local, with_gas, hops_ghost, hops_pm,
                   "amag", "grav_acc"]
     if hierarchical:
         state_keys += ["bins", "pm_acc"]
+    if with_potential:
+        state_keys += ["potential"]
     if with_gas:
         state_keys += ["gas_mask", "hsml", "entropy", "dtent",
                        "density", "egywt", "divv", "curlv",

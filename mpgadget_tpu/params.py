@@ -295,6 +295,10 @@ def create_gadget_parameter_set() -> ParameterSet:
     d("EscapeFractionNorm", OPTIONAL, 0.2, "Escape fraction norm")
     d("EscapeFractionScaling", OPTIONAL, 0.5, "Escape fraction scaling")
     d("UVBGTimestep", OPTIONAL, 10.0, "Myr between UVBG calcs")
+    i("ReionUseParticleSFR", OPTIONAL, 1,
+      "J21 from per-particle SFR (else stellar mass / timescale)")
+    d("ReionSFRTimescale", OPTIONAL, 0.5,
+      "Stellar-mass SFR proxy timescale, Hubble times")
     s("J21CoeffFile", OPTIONAL, "", "J21 rate coefficient table")
     d("ExcursionSetZStop", OPTIONAL, 5.0, "Excursion stop z")
     d("ExcursionSetZStart", OPTIONAL, 25.0, "Excursion start z")

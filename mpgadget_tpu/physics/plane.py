@@ -114,9 +114,15 @@ def cut_plane(ipos, weights, n_tot, boxsize, CP, atime, normal, center,
             int(n_plane))
 
 
-def write_planes(sim, snapnum, params: PlaneParams):
+def write_planes(sim, snapnum, params: PlaneParams, ipos=None,
+                 weights=None, n_tot=None, write=True):
     """Compute + write all (cut, normal) planes (write_plane,
-    plane.c:572-668)."""
+    plane.c:572-668).
+
+    ipos/weights/n_tot default to the host-side sim.pdata arrays; the
+    sharded run passes the mesh-sharded state columns instead (the
+    deposit is elementwise + scatter, so XLA partitions it) with
+    ``write`` gating the FITS output to rank 0."""
     import os
     from ..io.fits import write_fits_image
     boxsize = sim.cfg.boxsize
@@ -132,16 +138,19 @@ def write_planes(sim, snapnum, params: PlaneParams):
             and getattr(sim.CP, "MassiveNuLinRespOn", False):
         print("PlaneMassiveNuCorrection: PM neutrino-correction plane "
               "not yet implemented; writing particle planes only")
-    weights = jnp.where(sim.pdata.valid, 1.0, 0.0)
-    n_tot = int(np.asarray(sim.pdata.num_valid))
+    if ipos is None:
+        weights = jnp.where(sim.pdata.valid, 1.0, 0.0)
+        n_tot = int(np.asarray(sim.pdata.num_valid))
+        # planes use unshifted positions (random offset removed)
+        ip = np.asarray(sim.pdata.ipos)
+        ip = (ip.astype(np.uint64)
+              - sim._ipos_offset.astype(np.uint64)).astype(np.uint32)
+        ip = jnp.asarray(ip)
+    else:
+        ip = ipos
     ulen = sim.cfg.units.UnitLength_in_cm
     redshift = 1.0 / atime - 1.0
     written = []
-    # planes use unshifted positions (random offset removed)
-    ip = np.asarray(sim.pdata.ipos)
-    ip = (ip.astype(np.uint64)
-          - sim._ipos_offset.astype(np.uint64)).astype(np.uint32)
-    ip = jnp.asarray(ip)
     for ci, cut in enumerate(cuts):
         for normal in params.normals:
             plane, n_plane = cut_plane(
@@ -174,7 +183,8 @@ def write_planes(sim, snapnum, params: PlaneParams):
                  "Number of particles on the plane"),
                 ("UNIT", "rad2", "Pixel value unit"),
             ]
-            write_fits_image(fname, plane, header,
-                             double=params.double_out)
+            if write:
+                write_fits_image(fname, plane, header,
+                                 double=params.double_out)
             written.append(fname)
     return written

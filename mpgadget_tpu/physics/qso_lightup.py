@@ -91,6 +91,11 @@ class QSOParams:
     var_bubble: float = 0.0
     finish_frac: float = 0.995   # QSOHeIIIReionFinishFrac
     heiii_start: float = 4.0     # heIIIreion_start redshift
+    unit_internal_energy_cgs: float = 1e10  # (km/s)^2 default units
+
+    def with_units(self, uu_cgs):
+        from dataclasses import replace
+        return replace(self, unit_internal_energy_cgs=float(uu_cgs))
 
 
 def desired_heiii_frac(hist: HeIIHistory, atime):
@@ -126,54 +131,55 @@ def _ionize_bubble(ipos, is_gas, ionized, density, entropy, center,
             jnp.sum(hit.astype(jnp.int32)))
 
 
-def do_heiii_reionization(sim, cat, hist: HeIIHistory,
-                          params: QSOParams):
-    """Advance helium reionization one PM step (do_heiii_reionization,
-    cooling_qso_lightup.c:642-660).  cat: FOF catalog dict; mutates
-    sim.sph (he_iii_ionized, entropy) and appends to helium.txt.
+def place_bubbles(ipos, gas, ionized, density, entropy, cat,
+                  hist: HeIIHistory, params: QSOParams, atime,
+                  boxsize, random_seed, output_dir, write=True):
+    """Advance helium reionization one PM step on raw column arrays
+    (do_heiii_reionization, cooling_qso_lightup.c:642-660): sequential
+    QSO bubble placement around FOF halos until the desired HeIII
+    fraction is met, or a flash-ionization past finish_frac.
 
-    Returns the number of bubbles placed."""
+    The arrays may be single-device or mesh-sharded jax Arrays — the
+    kernel is elementwise + global reductions, so XLA partitions it
+    (every process must participate in the host loop; the catalog and
+    the RNG draws are identical on all ranks).  ``write`` gates the
+    helium.txt append (rank 0 only under multi-host).
+
+    Returns (ionized, entropy, nbub)."""
     import os
-    atime = sim.atime
-    if 1.0 / atime - 1.0 > params.heiii_start or atime > hist.aend:
-        return 0
     desired = desired_heiii_frac(hist, atime)
-    gas = sim.gas_mask
     n_gas = int(jnp.sum(gas.astype(jnp.int32)))
     if n_gas == 0:
-        return 0
-    ionized = sim.sph.he_iii_ionized > 0
+        return ionized, entropy, 0
     cur = float(jnp.sum((ionized & gas).astype(jnp.int32))) / n_gas
-    uu = sim.cfg.units.UnitInternalEnergy_in_cgs
+    uu = params.unit_internal_energy_cgs
     nheperg = (1.0 - C.HYDROGEN_MASSFRAC) / (C.PROTONMASS * HEMASS)
     du_code = jnp.float32(hist.qso_inst_heating * nheperg / uu)
     a3inv = jnp.float32(1.0 / atime ** 3)
-    helium_txt = os.path.join(sim.cfg.output_dir, "helium.txt")
+    helium_txt = os.path.join(output_dir, "helium.txt")
 
     if desired > params.finish_frac:
         # flash-ionize everything left (turn_on_quasars:540-548)
         ion2, ent2, nion = _ionize_bubble(
-            sim.pdata.ipos, gas, ionized, sim.sph.density,
-            sim.sph.entropy, jnp.zeros(3, jnp.float32),
-            jnp.float32(2.0), du_code, a3inv)
-        sim.sph = sim.sph.replace(
-            he_iii_ionized=ion2.astype(jnp.uint8), entropy=ent2)
-        with open(helium_txt, "a") as fh:
-            fh.write(f"{atime:g} flash 0 0 0 1.0 {int(nion)}\n")
-        return 1
+            ipos, gas, ionized, density, entropy,
+            jnp.zeros(3, jnp.float32), jnp.float32(2.0), du_code,
+            a3inv)
+        if write:
+            with open(helium_txt, "a") as fh:
+                fh.write(f"{atime:g} flash 0 0 0 1.0 {int(nion)}\n")
+        return ion2, ent2, 1
 
     if cur >= desired:
-        return 0
+        return ionized, entropy, 0
     masses = np.asarray(cat["masses"])
     cand = np.flatnonzero((masses > params.min_mass)
                           & (masses < params.max_mass))
     if cand.size == 0:
-        return 0
+        return ionized, entropy, 0
     rng = np.random.RandomState(
-        (sim.cfg.random_seed + int(atime * 1e6)) % (2 ** 31 - 1))
+        (random_seed + int(atime * 1e6)) % (2 ** 31 - 1))
     rng.shuffle(cand)
     nbub = 0
-    entropy = sim.sph.entropy
     for qidx in cand:
         if cur >= desired:
             break
@@ -182,22 +188,54 @@ def do_heiii_reionization(sim, cat, hist: HeIIHistory,
             radius = max(rng.normal(params.mean_bubble,
                                     np.sqrt(params.var_bubble)), 0.0)
         center = jnp.asarray(
-            np.asarray(cat["cm"][qidx]) / sim.cfg.boxsize % 1.0,
-            jnp.float32)
+            np.asarray(cat["cm"][qidx]) / boxsize % 1.0, jnp.float32)
         ionized, entropy, nion = _ionize_bubble(
-            sim.pdata.ipos, gas, ionized, sim.sph.density, entropy,
-            center, jnp.float32(radius / sim.cfg.boxsize), du_code,
-            a3inv)
+            ipos, gas, ionized, density, entropy, center,
+            jnp.float32(radius / boxsize), du_code, a3inv)
         nion = int(nion)
         cur += nion / n_gas
         nbub += 1
         pos = np.asarray(cat["cm"][qidx])
-        with open(helium_txt, "a") as fh:
-            fh.write(f"{atime:g} {pos[0]:g} {pos[1]:g} {pos[2]:g} "
-                     f"{cur:g} {nion}\n")
+        if write:
+            with open(helium_txt, "a") as fh:
+                fh.write(f"{atime:g} {pos[0]:g} {pos[1]:g} "
+                         f"{pos[2]:g} {cur:g} {nion}\n")
+    return ionized, entropy, nbub
+
+
+def do_heiii_reionization(sim, cat, hist: HeIIHistory,
+                          params: QSOParams):
+    """Advance helium reionization one PM step (do_heiii_reionization,
+    cooling_qso_lightup.c:642-660).  cat: FOF catalog dict; mutates
+    sim.sph (he_iii_ionized, entropy) and appends to helium.txt.
+
+    Returns the number of bubbles placed."""
+    atime = sim.atime
+    if 1.0 / atime - 1.0 > params.heiii_start or atime > hist.aend:
+        return 0
+    par = params.with_units(sim.cfg.units.UnitInternalEnergy_in_cgs)
+    ionized, entropy, nbub = place_bubbles(
+        sim.pdata.ipos, sim.gas_mask, sim.sph.he_iii_ionized > 0,
+        sim.sph.density, sim.sph.entropy, cat, hist, par, atime,
+        sim.cfg.boxsize, sim.cfg.random_seed, sim.cfg.output_dir)
     sim.sph = sim.sph.replace(
         he_iii_ionized=ionized.astype(jnp.uint8), entropy=entropy)
     return nbub
+
+
+def lmfp_heat_entropy(entropy, density, notion, rate, dt_s, atime,
+                      units, hubble_param):
+    """Entropy after uniform long-mean-free-path heating of the
+    not-yet-ionized gas rows (pure array form; erg/s/cm^3 proper →
+    internal entropy).  Works on single-device or sharded arrays."""
+    rho_cgs = (density / atime ** 3 * units.UnitDensity_in_cgs
+               * hubble_param ** 2)
+    du_cgs = rate * dt_s / jnp.maximum(rho_cgs, 1e-35)
+    du_code = du_cgs / units.UnitInternalEnergy_in_cgs
+    entropytou = jnp.maximum(density / atime ** 3, 1e-30) \
+        ** jnp.float32(C.GAMMA_MINUS1) / jnp.float32(C.GAMMA_MINUS1)
+    return jnp.where(notion, entropy + du_code / entropytou,
+                     entropy).astype(jnp.float32)
 
 
 def apply_lmfp_heating(sim, hist: HeIIHistory, params: QSOParams,
@@ -212,18 +250,8 @@ def apply_lmfp_heating(sim, hist: HeIIHistory, params: QSOParams,
     hubble = sim.CP.hubble_function(atime)
     dt_s = dloga / hubble * sim.cfg.units.UnitTime_in_s \
         / sim.CP.HubbleParam
-    gas = sim.gas_mask
-    notion = gas & (sim.sph.he_iii_ionized == 0)
-    # erg/cm^3 -> erg/g via proper mass density
-    rho_cgs = (sim.sph.density / atime ** 3
-               * sim.cfg.units.UnitDensity_in_cgs
-               * sim.CP.HubbleParam ** 2)
-    du_cgs = rate * dt_s / jnp.maximum(rho_cgs, 1e-35)
-    du_code = du_cgs / sim.cfg.units.UnitInternalEnergy_in_cgs
-    entropytou = jnp.maximum(
-        sim.sph.density / atime ** 3, 1e-30) \
-        ** jnp.float32(C.GAMMA_MINUS1) / jnp.float32(C.GAMMA_MINUS1)
-    new_ent = sim.sph.entropy + du_code / entropytou
+    notion = sim.gas_mask & (sim.sph.he_iii_ionized == 0)
     sim.sph = sim.sph.replace(
-        entropy=jnp.where(notion, new_ent,
-                          sim.sph.entropy).astype(jnp.float32))
+        entropy=lmfp_heat_entropy(
+            sim.sph.entropy, sim.sph.density, notion, rate, dt_s,
+            atime, sim.cfg.units, sim.CP.HubbleParam))

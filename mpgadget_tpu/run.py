@@ -88,6 +88,11 @@ class SimConfig:
     uvbg_timestep_myr: float = 10.0
     excursion_set_zstart: float = 25.0
     excursion_set_zstop: float = 5.0
+    # ReionUseParticleSFR / ReionSFRTimescale (uvbg.c:46-47): J21 from
+    # the per-particle SFR deposit, or from stellar mass over a
+    # fraction of the Hubble time
+    reion_use_particle_sfr: bool = True
+    reion_sfr_timescale: float = 0.5
     # QSO helium reionization (cooling_qso_lightup.c)
     qso_lightup_on: bool = False
     reion_hist_file: str = ""
@@ -1315,8 +1320,19 @@ class Simulation:
         — as separate sharded programs after each step — the
         neighbor-search wind models vs08/ofjt10 (parallel/winds.py),
         black holes (parallel/blackhole.py) and stellar metal return
-        (parallel/metals.py).  Not sharded: BH min-potential
-        repositioning (needs the potential column; raises below)."""
+        (parallel/metals.py).  With bh_reposition the state carries
+        the total (tree+PM) potential and BHs jump to their kernel
+        min-pot neighbor inside the sharded BH pass.
+
+        Aux physics at PM cadence (run.c:605-727 at scale): QSO
+        helium reionization (lmfp heating + bubbles around halos of
+        the DISTRIBUTED catalog), the excursion-set UVBG (sharded
+        deposits/readouts + per-row J21 cooling rates during the
+        epoch), lensing potential planes (sharded NGP deposit), and
+        the lightcone.  Sync points write snapshots with the
+        collective striped writer and run the distributed FOF + PIG
+        output + BH seeding (parallel/snapshot.py, parallel/fof.py)
+        — no host mirror."""
         from .parallel.driver import build_sharded_step
         from .parallel.decomp import balanced_boundaries
         from .parallel.mesh import shard_particles
@@ -1332,11 +1348,17 @@ class Simulation:
             and (self.cfg.wind_model & windmod.WIND_FIXED_EFFICIENCY))
         with_metals = bool(with_gas and self.cfg.metal_return_on)
         with_bh = bool(with_gas and self.cfg.black_hole_on)
-        if with_bh and self.cfg.bh_reposition:
-            raise ValueError(
-                "bh_reposition needs the potential column, which the "
-                "sharded state does not carry — use the single-device "
-                "run() for repositioning configs")
+        # bh_reposition: the sharded state carries the PM potential
+        # column (pm_force_multi with_potential) and the BH pass jumps
+        # each BH to its kernel min-pot neighbor (bhdynfric.c:199 +
+        # drift.c:32-49)
+        with_potential = bool(with_bh and self.cfg.bh_reposition)
+        # QSO helium reionization and the excursion-set UVBG carry
+        # per-row columns (HeIII flag / J21+zreion) so bubbles and
+        # grid readouts run on the sharded rows (cooling_qso_lightup.c
+        # / uvbg.c at scale)
+        with_qso = bool(with_gas and self.cfg.qso_lightup_on)
+        with_excursion = bool(with_gas and self.cfg.excursion_set_on)
         # non-subgrid wind models (vs08/ofjt10) kick gas NEIGHBORS of
         # the new stars; they run as a separate sharded program after
         # the step (parallel/winds.py)
@@ -1399,6 +1421,8 @@ class Simulation:
                 "amag": pad(jnp.sqrt(jnp.sum(acc0 * acc0, axis=-1))),
                 "grav_acc": pad(acc0),
             }
+            if with_potential:
+                state["potential"] = pad(self.pdata.potential)
             if hierarchical:
                 # hierarchical stepping kicks tree and PM at different
                 # cadences: grav_acc is tree-only, pm_acc carries the
@@ -1426,6 +1450,12 @@ class Simulation:
                     self._init_cooling()
                 state.update(ne=pad(self.sph.ne),
                              metallicity=pad(self.sph.metallicity))
+            if with_qso:
+                state.update(he_iii_ionized=pad(
+                    self.sph.he_iii_ionized.astype(jnp.uint8)))
+            if with_excursion:
+                state.update(local_j21=pad(self.sph.local_j21),
+                             zreion=pad(self.sph.zreion, -1.0))
             if with_sfr:
                 if not hasattr(self, "_sfr"):
                     self._init_sfr()
@@ -1477,6 +1507,31 @@ class Simulation:
 
         state = make_state()
 
+        def excursion_uv(uv, st, scal):
+            """During the excursion epoch the cooling UVB comes from
+            the per-row J21 grid readout (the _excursion_uvbg analog,
+            traced so epoch entry/exit does not recompile)."""
+            if not with_excursion:
+                return uv
+            from .physics.uvbg import j21_to_rates
+            from .physics.cooling import UVBG
+            g, e = j21_to_rates(st["local_j21"], self.cfg.alpha_uv)
+            z = scal["redshift"]
+            on = ((z >= self.cfg.excursion_set_zstop)
+                  & (z <= self.cfg.excursion_set_zstart))
+
+            def blend(a, b):
+                return jnp.where(on, a, jnp.broadcast_to(
+                    jnp.asarray(b, a.dtype), a.shape))
+
+            return UVBG(gJH0=blend(g[0], uv.gJH0),
+                        gJHe0=blend(g[1], uv.gJHe0),
+                        gJHep=blend(g[2], uv.gJHep),
+                        epsH0=blend(e[0], uv.epsH0),
+                        epsHe0=blend(e[1], uv.epsHe0),
+                        epsHep=blend(e[2], uv.epsHep),
+                        self_shield_dens=uv.self_shield_dens)
+
         cooling_fn = None
         if with_cooling:
             from .physics.cooling import do_cooling, UVBG, local_uvbg
@@ -1486,8 +1541,9 @@ class Simulation:
             uvf = getattr(self, "_uvf", None)
             min_egy = float(self._min_egy_spec)
 
-            def cooling_fn(ipos, entropy, density, ne, met, gas,
-                           scal):
+            def cooling_fn(st, gas, scal):
+                entropy, density = st["entropy"], st["density"]
+                ne, met = st["ne"], st["metallicity"]
                 atime = scal["atime"]
                 redshift = scal["redshift"]
                 a3 = atime ** 3
@@ -1495,7 +1551,9 @@ class Simulation:
                 u = entropy / GAMMA_MINUS1 * rho_phys ** GAMMA_MINUS1
                 uv = UVBG(*[scal["uvbg"][i] for i in range(7)])
                 if uvf is not None:
-                    uv = local_uvbg(uv, uvf.zreion(ipos), redshift)
+                    uv = local_uvbg(uv, uvf.zreion(st["ipos"]),
+                                    redshift)
+                uv = excursion_uv(uv, st, scal)
                 # dloga_full is a scalar (global-dt) or a per-row
                 # array (hierarchical per-bin intervals)
                 dt = jnp.broadcast_to(
@@ -1524,6 +1582,7 @@ class Simulation:
                 if uvf is not None:
                     uv = local_uvbg(uv, uvf.zreion(st["ipos"]),
                                     redshift)
+                uv = excursion_uv(uv, st, scal)
 
                 def cool_fn(u, rho_phys, dt, ne, Z):
                     return do_cooling(cr, redshift, u, rho_phys, dt,
@@ -1624,7 +1683,11 @@ class Simulation:
                    bp["tree_boost"], acap)
             if key not in steps_cache:
                 tree_kwargs = tg.force_kwargs(n_rows * bp["tree_boost"])
-                tree_kwargs["with_potential"] = False
+                # total potential (tree+PM) for BH min-pot jumps; the
+                # hierarchical substep carries PM-only potential (the
+                # tree runs per closing bin, no full refresh)
+                tree_kwargs["with_potential"] = bool(
+                    with_potential and not hierarchical)
                 dpar = self._density_params()
                 from .sph.hydra import HydroParams
                 hpar = HydroParams(
@@ -1654,6 +1717,7 @@ class Simulation:
                     hist_bits=hist_bits, cooling_fn=cooling_fn,
                     sfr_fn=sfr_fn, wind_fn=wind_fn,
                     hierarchical=hierarchical, active_block_cap=acap,
+                    with_potential=with_potential,
                     extra_state_keys=(
                         (("metals", "star_hsml",
                           "total_mass_returned",
@@ -1661,7 +1725,10 @@ class Simulation:
                          else ())
                         + (("bh_mass", "bh_mdot", "bh_density",
                             "bh_mtrack", "bh_progs", "bh_ke",
-                            "bh_vdisp") if with_bh else ())))[0]
+                            "bh_vdisp") if with_bh else ())
+                        + (("he_iii_ionized",) if with_qso else ())
+                        + (("local_j21", "zreion")
+                           if with_excursion else ())))[0]
             return steps_cache[key]
 
         pm_cache = {}
@@ -1676,7 +1743,8 @@ class Simulation:
                     device_mesh, n_local=n_local, hops_pm=hops_pm,
                     nmesh=self.cfg.nmesh, boxsize=self.cfg.boxsize,
                     gconst=self.CP.GravInternal, asmth=self.cfg.asmth,
-                    hist_bits=hist_bits, with_gas=with_gas)
+                    hist_bits=hist_bits, with_gas=with_gas,
+                    with_potential=with_potential)
             return pm_cache[hops_pm]
 
         windnb_cache = {}
@@ -1716,7 +1784,8 @@ class Simulation:
                     uu_in_cgs=self.cfg.units
                     .UnitInternalEnergy_in_cgs,
                     rho_crit_baryon=rho_crit_b,
-                    kernel_type=self.cfg.density_kernel_type)
+                    kernel_type=self.cfg.density_kernel_type,
+                    reposition=with_potential)
             return bh_cache[key]
 
         metal_cache = {}
@@ -1842,6 +1911,8 @@ class Simulation:
                 upd["timebin"] = take("bins")
             else:
                 upd["grav_pm"] = jnp.zeros_like(upd["grav_accel"])
+            if with_potential:
+                upd["potential"] = take("potential")
             if with_gas:
                 upd["hsml"] = take("hsml")
                 upd["dt_hsml"] = take("dt_hsml")
@@ -1863,6 +1934,11 @@ class Simulation:
                 if with_sfr:
                     upd_sph["sfr"] = take("sfr")
                     upd_sph["delay_time"] = take("delay_time")
+                if with_qso:
+                    upd_sph["he_iii_ionized"] = take("he_iii_ionized")
+                if with_excursion:
+                    upd_sph["local_j21"] = take("local_j21")
+                    upd_sph["zreion"] = take("zreion")
                 self.sph = self.sph.replace(**upd_sph)
                 if with_sfr:
                     self.stars = self.stars.replace(
@@ -1946,7 +2022,8 @@ class Simulation:
                        "ptype", "hsml", "entropy", "density",
                        "gas_mask", "grav_acc", "bh_mass",
                        "bh_mdot", "bh_density", "bh_mtrack",
-                       "bh_progs", "bh_ke", "bh_vdisp")
+                       "bh_progs", "bh_ke", "bh_vdisp") \
+                + (("potential",) if with_potential else ())
             for b_try in range(6):
                 sub = {k: state[k] for k in bh_keys}
                 if hierarchical:
@@ -2020,31 +2097,331 @@ class Simulation:
                          f"{sfr_tot:g} {sfr_tot:g} "
                          f"{float(stats['star_mass_sum']):g}\n")
 
+        io_cache = {}
+        fof_cache = {}
+        seed_cache = {}
+
+        def apply_lightcone(t0, t1, a1):
+            """Horizon-crossing output from the sharded state
+            (lightcone_compute, lightcone.c:176-190): the crossing
+            test is elementwise jax over the global arrays; crossers
+            are rare and appended host-side by rank 0."""
+            if not self.cfg.lightcone_on or jax.process_index() != 0:
+                return
+            from .physics.lightcone import Lightcone
+            from .parallel.mesh import fetch_global
+            if getattr(self, "_lightcone", None) is None:
+                self._lightcone = Lightcone(
+                    self.CP, self.time_ic,
+                    self.cfg.units.UnitVelocity_in_cm_per_s,
+                    self.cfg.output_dir, self.cfg.boxsize)
+            ddrift = self.tf.drift(t0, t1)
+            off = jnp.asarray(self._ipos_offset)
+            pos = ((state["ipos"] - off[None, :]).astype(jnp.float32)
+                   * jnp.float32(2.0 ** -32 * self.cfg.boxsize))
+            is_dm = state["valid"] & (state["ptype"] == 1)
+            self.walltime.start("Lightcone")
+            self._lightcone.compute(
+                a1, ddrift, jnp.asarray(fetch_global(pos)),
+                jnp.asarray(fetch_global(state["vel"])),
+                jnp.asarray(fetch_global(is_dm)),
+                jnp.asarray(fetch_global(state["pid"])))
+            self.walltime.stop("Lightcone")
+
+        def sharded_cat():
+            """Distributed FOF catalog from the sharded state
+            (fof_fof at scale); returns (cat, sorted_labels, extras,
+            labels) — labels is the per-row group label P('x')."""
+            from .parallel.fof import sharded_fof
+            from .physics.fof import FOFParams
+            npart = int(jnp.sum((state["valid"]
+                                 & (state["ptype"] == 1)).astype(
+                jnp.int32)))
+            mean_sep = self.cfg.boxsize / max(1.0, np.cbrt(npart))
+            params = FOFParams(
+                linking_length=self.cfg.fof_linking_length,
+                min_group_length=self.cfg.fof_min_group_length,
+                primary_link_types=self.cfg.fof_primary_link_types,
+                secondary_link_types=(
+                    self.cfg.fof_secondary_link_types))
+            stf = {k: state[k] for k in ("ipos", "vel", "mass",
+                                         "ptype", "valid")}
+            if with_sfr:
+                stf["sfr"] = state["sfr"]
+            if with_bh:
+                stf["density"] = state["density"]
+                stf["gas_mask"] = state["gas_mask"] & state["valid"]
+            self.walltime.start("FOF")
+            out = sharded_fof(
+                device_mesh, stf, bounds_np,
+                boxsize=self.cfg.boxsize, mean_sep=mean_sep,
+                n_local=n_local, params=params, cache=fof_cache)
+            self.walltime.stop("FOF")
+            return out
+
+        def sharded_group_index(cat, sorted_labels, labels):
+            """Per-row dense group index (-1 ungrouped) matching the
+            catalog row order (the group_index of run_fof at scale)."""
+            from .parallel.fof import build_group_index
+            if "gi" not in fof_cache:
+                fof_cache["gi"] = build_group_index(
+                    device_mesh, n_local=n_local)
+            srt = np.argsort(sorted_labels)
+            return fof_cache["gi"](
+                labels,
+                jnp.asarray(sorted_labels[srt].astype(np.int32)),
+                jnp.asarray(np.arange(len(sorted_labels))[srt]
+                            .astype(np.int32)))
+
+        def apply_qso(t0, t1, a1):
+            """Helium reionization on the sharded state
+            (cooling_qso_lightup.c at scale): lmfp heating is
+            elementwise on the sharded columns; QSO bubbles are placed
+            around halos of the DISTRIBUTED catalog, each bubble one
+            tiny elementwise kernel + global count (XLA partitions
+            both — no host mirror)."""
+            nonlocal state
+            from .physics import qso_lightup as qmod
+            if getattr(self, "_heii_hist", None) is None:
+                if not self.cfg.reion_hist_file:
+                    raise ValueError("QSOLightupOn needs "
+                                     "ReionHistFile")
+                self._heii_hist = qmod.load_heii_reion_hist(
+                    self.cfg.reion_hist_file)
+                self._qso_params = qmod.QSOParams(
+                    min_mass=self.cfg.qso_min_mass,
+                    max_mass=self.cfg.qso_max_mass,
+                    mean_bubble=self.cfg.qso_mean_bubble,
+                    var_bubble=self.cfg.qso_var_bubble,
+                    finish_frac=self.cfg.qso_finish_frac,
+                    heiii_start=self._heii_hist.zstart)
+            hist = self._heii_hist
+            par = self._qso_params.with_units(
+                self.cfg.units.UnitInternalEnergy_in_cgs)
+            z = 1.0 / a1 - 1.0
+            if z > par.heiii_start or a1 > hist.aend:
+                return
+            self.walltime.start("HeIII")
+            dloga_f = float(loga(t1) - loga(t0))
+            gas = state["gas_mask"] & state["valid"]
+            ionized = state["he_iii_ionized"] > 0
+            rate = qmod.lmfp_heating(hist, par, a1)
+            if rate > 0 and dloga_f > 0:
+                hub1 = float(self.CP.hubble_function(a1))
+                dt_s = dloga_f / hub1 * self.cfg.units.UnitTime_in_s \
+                    / self.CP.HubbleParam
+                state["entropy"] = qmod.lmfp_heat_entropy(
+                    state["entropy"], state["density"],
+                    gas & ~ionized, rate, dt_s, a1, self.cfg.units,
+                    self.CP.HubbleParam)
+            cat, _, _, _ = sharded_cat()
+            ion2, ent2, nbub = qmod.place_bubbles(
+                state["ipos"], gas, ionized, state["density"],
+                state["entropy"], cat, hist, par, a1,
+                self.cfg.boxsize, self.cfg.random_seed,
+                self.cfg.output_dir,
+                write=(jax.process_index() == 0))
+            state["he_iii_ionized"] = ion2.astype(jnp.uint8)
+            state["entropy"] = ent2.astype(jnp.float32)
+            self.walltime.stop("HeIII")
+
+        def apply_excursion(a1):
+            """Excursion-set UVBG update at the UVBGTimestep cadence
+            on the sharded state (calculate_uvbg, uvbg.c:506-594 at
+            scale): halo masses come from the distributed catalog,
+            the star/SFR deposits and the J21 readout run on the
+            sharded rows, and only the small uvbg_dim^3 grid
+            filtering is replicated."""
+            nonlocal state
+            from .physics import uvbg as uvmod
+            z = 1.0 / a1 - 1.0
+            if not (self.cfg.excursion_set_zstop <= z
+                    <= self.cfg.excursion_set_zstart):
+                return
+            if getattr(self, "_uvbg_params", None) is None:
+                self._uvbg_params = uvmod.UVBGParams(
+                    uvbg_dim=self.cfg.uvbg_dim,
+                    r_bubble_max=self.cfg.reion_r_bubble_max,
+                    r_bubble_min=self.cfg.reion_r_bubble_min,
+                    delta_r_factor=self.cfg.reion_delta_r_factor,
+                    filter_type=self.cfg.reion_filter_type,
+                    rtom_filter_type=self.cfg.rtom_filter_type,
+                    nion_phot_per_bary=(
+                        self.cfg.reion_nion_phot_per_bary),
+                    alpha_uv=self.cfg.alpha_uv,
+                    escape_frac_norm=self.cfg.escape_fraction_norm,
+                    escape_frac_scaling=(
+                        self.cfg.escape_fraction_scaling),
+                    zstart=self.cfg.excursion_set_zstart,
+                    zstop=self.cfg.excursion_set_zstop,
+                    timestep_myr=self.cfg.uvbg_timestep_myr,
+                    use_particle_sfr=(
+                        self.cfg.reion_use_particle_sfr),
+                    sfr_timescale=self.cfg.reion_sfr_timescale)
+                self._uvbg_last_myr = -1e30
+                if getattr(self, "_age_table", None) is None:
+                    from .physics.metal_return import AgeTable
+                    self._age_table = AgeTable(
+                        self.CP.hubble_function, self.cfg.units,
+                        self.CP.HubbleParam)
+            t_myr = float(self._age_table(a1))
+            if t_myr - self._uvbg_last_myr \
+                    < self.cfg.uvbg_timestep_myr:
+                return
+            self._uvbg_last_myr = t_myr
+            self.walltime.start("UVBG")
+            cat, sorted_labels, extras, labels = sharded_cat()
+            if cat["ngroups"] > 0:
+                gi = sharded_group_index(cat, sorted_labels, labels)
+                masses_dev = jnp.asarray(
+                    np.asarray(cat["masses"]).astype(np.float32))
+                halo_mass = jnp.where(
+                    gi >= 0, masses_dev[jnp.clip(gi, 0)], 0.0)
+            else:
+                halo_mass = jnp.zeros_like(state["mass"])
+            fesc = uvmod.escape_fractions(
+                halo_mass, self._uvbg_params.escape_frac_norm,
+                self._uvbg_params.escape_frac_scaling,
+                self.cfg.units.UnitMass_in_g, self.CP.HubbleParam)
+            gas = state["gas_mask"] & state["valid"]
+            is_star = state["valid"] & (state["ptype"] == 4)
+            sfr_col = state.get("sfr",
+                                jnp.zeros_like(state["mass"]))
+            out = uvmod.calculate_uvbg(
+                state["ipos"], state["mass"], state["valid"], gas,
+                is_star, sfr_col, fesc, self._uvbg_params, self.CP,
+                self.cfg.units, self.cfg.boxsize, a1)
+            self._uvbg_grids = out
+            j21_p = uvmod.readout_j21_max(out["j21"], state["ipos"])
+            newly = gas & (j21_p > state["local_j21"]) \
+                & (state["zreion"] < 0)
+            from jax.sharding import NamedSharding, PartitionSpec
+            row_shd = NamedSharding(device_mesh, PartitionSpec("x"))
+
+            def put(a):
+                # eager-mode mixes of replicated grid readouts and
+                # P('x') rows can leave the result replicated: pin the
+                # columns back to the mesh rows before the next step
+                return jax.device_put(a, row_shd)
+
+            state["local_j21"] = put(jnp.where(
+                gas, jnp.maximum(state["local_j21"], j21_p),
+                state["local_j21"]))
+            state["zreion"] = put(jnp.where(newly, jnp.float32(z),
+                                            state["zreion"]))
+            self.walltime.stop("UVBG")
+            if verbose and jax.process_index() == 0:
+                from .utils.log import message
+                message(f"[UVBG] z={z:.2f} vol xHI="
+                        f"{out['volume_weighted_global_xHI']:.4f} "
+                        "mass xHI="
+                        f"{out['mass_weighted_global_xHI']:.4f}")
+
+        def maybe_planes():
+            """Lensing potential planes from the sharded rows
+            (write_plane, plane.c:572 at scale): the NGP deposit is
+            elementwise+scatter over the sharded ipos; rank 0 writes
+            the FITS files."""
+            if not self.cfg.plane_output_list:
+                return
+            from .physics.plane import write_planes
+            self._ensure_plane_params()
+            atime = self.atime
+            off = jnp.asarray(self._ipos_offset)
+            for i, t in enumerate(self._plane_times):
+                if i in self._planes_done or t > atime + 1e-9:
+                    continue
+                self.walltime.start("Planes")
+                ip = state["ipos"] - off[None, :]   # u32 wrap: exact
+                w = jnp.where(state["valid"], 1.0, 0.0)
+                n_tot = int(jnp.sum(
+                    state["valid"].astype(jnp.int32)))
+                write_planes(self, i, self._plane_params, ipos=ip,
+                             weights=w, n_tot=n_tot,
+                             write=(jax.process_index() == 0))
+                self.walltime.stop("Planes")
+                self._planes_done.add(i)
+
+        def do_sharded_fof():
+            """Distributed FOF + PIG output + BH seeding on the
+            sharded state — no host mirror (fof.c:158-330 + fof_seed
+            at scale)."""
+            nonlocal state
+            from .parallel.fof import build_seed_convert
+            from .parallel.snapshot import write_pig_sharded
+            cat, sorted_labels, extras, labels = sharded_cat()
+            pig = write_pig_sharded(
+                self, device_mesh, state, n_local, labels,
+                sorted_labels, cat, cache=io_cache,
+                with_gas=with_gas, with_sfr=with_sfr,
+                with_metals=with_metals, with_bh=with_bh)
+            if pig is None:
+                # one group outgrew a shard's row capacity in the
+                # member sort: fall back to the host writer
+                mirror_to_host()
+                cat_h = self.run_fof(save=(jax.process_index() == 0))
+                if self.cfg.black_hole_on:
+                    if self.seed_black_holes_from_fof(cat_h):
+                        state = make_state()
+                return
+            if not (self.cfg.black_hole_on and cat["ngroups"]):
+                return
+            # seeding (fof_seed): qualifying halos without a BH
+            # convert their densest gas member
+            par_bh = self._bh_params()
+            eligible = ((cat["masses"] > par_bh.min_fof_mass_for_seed)
+                        & (cat["mass_by_type"][:, 4]
+                           > par_bh.min_mstar_for_seed)
+                        & ~extras["has_bh"]
+                        & (extras["seed_gid"] < 2 ** 31 - 1))
+            seeds = np.sort(extras["seed_gid"][eligible]
+                            .astype(np.int32))
+            if not len(seeds):
+                return
+            cap = max(64, 1 << int(len(seeds) - 1).bit_length())
+            pad_s = np.full(cap, 2 ** 31 - 1, np.int32)
+            pad_s[:len(seeds)] = seeds
+            if "fn" not in seed_cache:
+                seed_cache["fn"] = build_seed_convert(
+                    device_mesh, n_local=n_local)
+            sub = {k: state[k] for k in
+                   ("ptype", "gas_mask", "bh_mass", "bh_mtrack",
+                    "mass", "valid")}
+            sub["formation_time"] = state.get(
+                "formation_time",
+                jnp.zeros_like(state["mass"]))
+            upd, nseeded = seed_cache["fn"](
+                sub, jnp.asarray(pad_s),
+                {"seed_mass": jnp.float32(par_bh.seed_mass),
+                 "seed_dyn_mass": jnp.float32(
+                     par_bh.seed_bh_dyn_mass),
+                 "atime": jnp.float32(self.atime)})
+            if "formation_time" not in state:
+                upd.pop("formation_time")
+            state.update(upd)
+            if verbose and int(nseeded):
+                from .utils.log import message
+                message(f"[sharded fof] seeded {int(nseeded)} "
+                        "black holes")
+
         def sync_outputs():
             # snapshot / FOF / BH seeding at sync points
-            # (run.c:605-727)
+            # (run.c:605-727) — collective striped IO and distributed
+            # FOF on the sharded state; no host mirror
+            # (petaio.c:33-68, fof.c:158-330 at scale)
             nonlocal state
             sp = self.timeline.find_current_sync_point(
                 self.ti_current)
             if sp is None or not sp.write_snapshot:
                 return
-            mirror_to_host()
-            # multi-host: the mirror is identical on every rank;
-            # rank 0 writes (NumWriters=1 policy, petaio.c:33-68)
-            if jax.process_index() == 0:
-                self.write_snapshot()
+            from .parallel.snapshot import write_snapshot_sharded
+            write_snapshot_sharded(
+                self, device_mesh, state, n_local, cache=io_cache,
+                with_gas=with_gas, with_sfr=with_sfr,
+                with_metals=with_metals, with_bh=with_bh)
             if sp.write_fof or (self.cfg.snapshot_with_fof
                                 and sp.write_snapshot):
-                # every rank computes the (identical) catalog and
-                # seeds deterministically; rank 0 saves it
-                cat = self.run_fof(save=(jax.process_index() == 0))
-                if self.cfg.black_hole_on:
-                    nseed = self.seed_black_holes_from_fof(cat)
-                    if nseed:
-                        # seeding converted host gas rows to BHs:
-                        # rebuild the device state from the
-                        # (just-mirrored) host arrays
-                        state = make_state()
+                do_sharded_fof()
 
         if hierarchical:
             # ---- per-particle timebin loop (timestep.c:298-503 at
@@ -2230,6 +2607,7 @@ class Simulation:
                         endrun(2, "sharded substep: capacity retries "
                                f"exhausted (counts {fl.tolist()})")
                     state = new_state
+                    apply_lightcone(ti, ti + dti_s, a1s)
                     ti += dti_s
                     self.ti_current = ti
                     n_sub += 1
@@ -2282,6 +2660,11 @@ class Simulation:
                 if with_metals:
                     apply_metals_interval(t0, t1,
                                           jnp.asarray(bounds_np))
+                if with_qso:
+                    apply_qso(t0, t1, a1)
+                if with_excursion:
+                    apply_excursion(a1)
+                maybe_planes()
                 if rebalance:
                     bounds_np = balanced_boundaries(
                         np.asarray(pm_stats["hist"]), S)
@@ -2397,12 +2780,18 @@ class Simulation:
             state = new_state
             self.ti_current = t1
             nsteps += 1
+            apply_lightcone(t0, t1, a1)
             if wind_neighbors:
                 apply_wind_neighbors(t0, t1, a1, scal["rng"])
             if with_bh:
                 apply_bh_interval(t0, t1, a1, float(stats["n_valid"]))
             if with_metals:
                 apply_metals_interval(t0, t1, bounds_dev)
+            if with_qso:
+                apply_qso(t0, t1, a1)
+            if with_excursion:
+                apply_excursion(a1)
+            maybe_planes()
             write_sfr_line(stats)
             hm = float(stats["hmax"]) / self.cfg.boxsize
             if hm > 0:
@@ -2616,7 +3005,9 @@ class Simulation:
                 escape_frac_scaling=self.cfg.escape_fraction_scaling,
                 zstart=self.cfg.excursion_set_zstart,
                 zstop=self.cfg.excursion_set_zstop,
-                timestep_myr=self.cfg.uvbg_timestep_myr)
+                timestep_myr=self.cfg.uvbg_timestep_myr,
+                use_particle_sfr=self.cfg.reion_use_particle_sfr,
+                sfr_timescale=self.cfg.reion_sfr_timescale)
             self._uvbg_last_myr = -1e30
             if getattr(self, "_age_table", None) is None:
                 from .physics.metal_return import AgeTable
@@ -2677,10 +3068,8 @@ class Simulation:
                                 self.pdata.pid)
         self.walltime.stop("Lightcone")
 
-    def _maybe_write_planes(self):
-        """Write lensing potential planes for any plane output times
-        crossed this step (write_plane, plane.c:572)."""
-        from .physics.plane import PlaneParams, write_planes
+    def _ensure_plane_params(self):
+        from .physics.plane import PlaneParams
         if getattr(self, "_plane_times", None) is None:
             self._plane_times = sorted(
                 float(x) for x in
@@ -2697,6 +3086,12 @@ class Simulation:
                 cut_points=cuts, normals=normals,
                 massive_nu_correction=self.cfg.plane_nu_correction,
                 double_out=self.cfg.plane_double_out)
+
+    def _maybe_write_planes(self):
+        """Write lensing potential planes for any plane output times
+        crossed this step (write_plane, plane.c:572)."""
+        from .physics.plane import write_planes
+        self._ensure_plane_params()
         atime = self.atime
         for i, t in enumerate(self._plane_times):
             if i in self._planes_done or t > atime + 1e-9:
@@ -2934,9 +3329,19 @@ class Simulation:
             srcs = self.pdata.valid & (
                 (self.pdata.ptype == 0) | (self.pdata.ptype == 1)
                 | (self.pdata.ptype == 4) | (self.pdata.ptype == 5))
+            # kernel-scale argmin needs the TOTAL potential: the PM
+            # part alone is smoothed at the asmth scale and its
+            # within-kernel gradient reflects large-scale structure,
+            # not the local well (P.Potential = PM + short-range tree,
+            # gravshort-tree.c:137)
+            pot_tot = self.pdata.potential
+            if self.cfg.tree_grav_on and self._tree_grav is not None:
+                _, tree_pot = self._tree_grav.compute(
+                    self.pdata, return_potential=True)
+                pot_tot = pot_tot + tree_pot
             mp_pos, mp_vel, found = bhmod.bh_minpot(
                 self.pdata.ipos, self.pdata.hsml,
-                self.pdata.potential, self.pdata.vel, srcs, is_bh_now,
+                pot_tot, self.pdata.vel, srcs, is_bh_now,
                 self.cfg.boxsize)
             # store in the offset-free output frame (like Position and
             # FOF MassCenterPosition) so the snapshot block agrees with

@@ -94,6 +94,42 @@ def test_exchange_to_slabs_routes_and_conserves(mesh8):
                       float(np.sum(mass[valid])), rtol=1e-6)
 
 
+def test_exchange_small_bucket_keeps_capacity(mesh8):
+    """When S*bucket_cap < n_loc the exchange must keep the caller's
+    fixed row capacity (pad, not shrink) — a shrink broke tracing on
+    small meshes and would drop rows (exchange.c capacity contract)."""
+    n_loc = 128
+    n = n_loc * NDEV
+    rng = np.random.RandomState(3)
+    ipos = rng.randint(0, 2 ** 32, (n, 3)).astype(np.uint32)
+    ids = np.arange(n, dtype=np.int32)
+    # few enough valid rows that bucket_cap=8 (S*E=64 < n_loc=128)
+    # does not overflow: <=4 rows per (src, dst) bucket
+    valid = np.zeros(n, bool)
+    valid[::8] = True
+
+    def run(ipos, ids, valid):
+        (ipos2, ids2), valid2, ovf = exchange_to_slabs(
+            (ipos, ids), ipos, valid, "x", 3, bucket_cap=8)
+        assert ipos2.shape[0] == n_loc   # capacity preserved
+        own = slab_of(ipos2, 3)
+        me = jax.lax.axis_index("x")
+        misrouted = jnp.sum((valid2 & (own != me)).astype(jnp.int32))
+        return (ipos2, ids2, valid2,
+                jax.lax.psum(ovf.astype(jnp.int32), "x"),
+                jax.lax.psum(misrouted, "x"))
+
+    run_s = jax.jit(shard_map(
+        run, mesh=mesh8, in_specs=(P("x"), P("x"), P("x")),
+        out_specs=(P("x"), P("x"), P("x"), P(), P())))
+    ipos2, ids2, valid2, ovf, misrouted = run_s(
+        jnp.asarray(ipos), jnp.asarray(ids), jnp.asarray(valid))
+    assert not bool(np.any(np.asarray(ovf))), "exchange overflow"
+    assert int(misrouted) == 0
+    got_ids = np.sort(np.asarray(ids2)[np.asarray(valid2)])
+    assert np.array_equal(got_ids, np.sort(ids[valid]))
+
+
 def test_ghost_strips_cover_rcut_neighbors(mesh8):
     """Ghost rows == exactly the neighbor particles within rcut of the
     slab faces (the pseudo-particle/export analog)."""
@@ -1361,3 +1397,402 @@ def test_sharded_fof_matches_single(mesh8):
     rank_map[o_p] = o_s
     got = np.where(gi_p >= 0, rank_map[np.clip(gi_p, 0, None)], -1)
     np.testing.assert_array_equal(got, gi_s)
+
+
+def test_run_sharded_striped_snapshot(mesh8, tmp_path):
+    """Collective striped snapshot IO (petaio.c:33-68 + 622-700 at
+    scale): the sync-point snapshot written by the sharded loop — one
+    stripe file per shard, no host mirror — equals the single-writer
+    host snapshot of the same state byte-for-byte after a row sort by
+    ID, and restarts from it."""
+    from mpgadget_tpu.run import Simulation, SimConfig
+    from mpgadget_tpu.particles import ParticleData
+    from mpgadget_tpu.cosmology import Cosmology
+    from mpgadget_tpu.timeline import Timeline
+    from mpgadget_tpu.io.bigfile import BigFile
+    from mpgadget_tpu.utils import get_unitsystem, constants as C
+
+    units = get_unitsystem(C.CM_PER_KPC, 1.989e43, 1e5)
+    rng = np.random.RandomState(5)
+    box = 4000.0
+    ng = 8
+    n = 2 * ng ** 3
+    grid = (np.stack(np.meshgrid(*[np.arange(ng)] * 3),
+                     axis=-1).reshape(-1, 3) + 0.5) / ng * box
+    pos = np.concatenate([grid + rng.uniform(-30, 30, (ng ** 3, 3)),
+                          grid + rng.uniform(-30, 30, (ng ** 3, 3))
+                          + box / ng / 2]) % box
+    ptype = np.concatenate([np.zeros(ng ** 3, np.int32),
+                            np.ones(ng ** 3, np.int32)])
+    mass = np.where(ptype == 0, 1.0, 5.0)
+    pdata = ParticleData.from_numpy(
+        pos, rng.randn(n, 3) * 5, mass, ptype, np.arange(n) + 1, box)
+    cp = Cosmology(Omega0=0.3, OmegaLambda=0.7, HubbleParam=0.7,
+                   OmegaBaryon=0.05, TimeBegin=0.1).init_units(units)
+    # TimeMax in the OutputList: the sharded writer fires at the final
+    # sync point, so it snapshots exactly the state the host mirror
+    # sees after the loop
+    cfg = SimConfig(
+        boxsize=box, nmesh=16, output_dir=str(tmp_path),
+        timeline=Timeline([0.115], TimeIC=0.1, TimeMax=0.115),
+        units=units, hydro_on=True, tree_grav_on=True,
+        cooling_on=True, random_particle_offset=0.0)
+    sim = Simulation(cp, pdata, cfg, time_ic=0.1)
+    sim.run_sharded(mesh8, verbose=False)
+    assert sim.ti_current == sim.timeline.ti_end
+
+    # the sharded snapshot written at the final sync point
+    snap_sharded = tmp_path / "PART_000"
+    assert snap_sharded.is_dir()
+    # host single-writer snapshot of the SAME (mirrored) state
+    host_path = sim.write_snapshot()
+    bf_s = BigFile(str(snap_sharded))
+    bf_h = BigFile(host_path)
+
+    hdr_s = bf_s.open("Header").attrs
+    hdr_h = bf_h.open("Header").attrs
+    np.testing.assert_array_equal(hdr_s["TotNumPart"],
+                                  hdr_h["TotNumPart"])
+    assert float(np.asarray(hdr_s["Time"])[0]) == \
+        float(np.asarray(hdr_h["Time"])[0])
+
+    for t in (0, 1):
+        ids_s = bf_s.open(f"{t}/ID").read()
+        ids_h = bf_h.open(f"{t}/ID").read()
+        assert len(ids_s) == len(ids_h) == ng ** 3
+        o_s = np.argsort(ids_s)
+        o_h = np.argsort(ids_h)
+        np.testing.assert_array_equal(ids_s[o_s], ids_h[o_h])
+        blocks = ["Position", "Velocity", "Mass"]
+        if t == 0:
+            blocks += ["SmoothingLength", "Density", "EgyWtDensity",
+                       "ElectronAbundance", "InternalEnergy"]
+        for name in blocks:
+            a_s = bf_s.open(f"{t}/{name}").read()
+            a_h = bf_h.open(f"{t}/{name}").read()
+            # byte-for-byte after the ID sort
+            np.testing.assert_array_equal(
+                np.asarray(a_s)[o_s], np.asarray(a_h)[o_h],
+                err_msg=f"{t}/{name}")
+        # stripes: one file per shard
+        blk = bf_s.open(f"{t}/Position")
+        assert blk.Nfile == NDEV
+
+    # restart from the sharded snapshot round-trips
+    from mpgadget_tpu.timeline import Timeline as TL
+    sim2 = Simulation.from_snapshot(str(snap_sharded), dict(
+        output_dir=str(tmp_path / "restart"), nmesh=16,
+        hydro_on=True, tree_grav_on=True, cooling_on=True,
+        random_particle_offset=0.0,
+        timeline=TL([0.13], TimeIC=0.115, TimeMax=0.13)))
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(sim2.pdata.pid)[
+            np.asarray(sim2.pdata.valid)]),
+        np.sort(np.asarray(sim.pdata.pid)[
+            np.asarray(sim.pdata.valid)]))
+
+
+def test_run_sharded_fof_sync_and_seeding(mesh8, tmp_path):
+    """Sync-point FOF inside run_sharded runs distributed — catalog
+    written as PIG with group-sorted particle blocks, and a
+    qualifying halo without a BH seeds one by converting its densest
+    gas member (fof_seed + fofpetaio.c at scale) — with no host
+    mirror."""
+    from mpgadget_tpu.run import Simulation, SimConfig
+    from mpgadget_tpu.particles import ParticleData
+    from mpgadget_tpu.cosmology import Cosmology
+    from mpgadget_tpu.timeline import Timeline
+    from mpgadget_tpu.io.bigfile import BigFile
+    from mpgadget_tpu.utils import get_unitsystem, constants as C
+
+    units = get_unitsystem(C.CM_PER_KPC, 1.989e43, 1e5)
+    rng = np.random.RandomState(9)
+    box = 8000.0
+    n_bg = 1024
+    n_clump = 96
+    mean_sep = box / np.cbrt(n_bg + 2 * n_clump)
+    ll = 0.2 * mean_sep
+    # a tight DM clump straddling the x = box/2 shard boundary, with
+    # gas members inside it (seed candidates)
+    dm_clump = np.array([box / 2, box / 3, box / 3]) \
+        + rng.randn(n_clump, 3) * ll * 0.8
+    gas_clump = np.array([box / 2, box / 3, box / 3]) \
+        + rng.randn(n_clump, 3) * ll * 0.5
+    pos = np.mod(np.concatenate([
+        rng.uniform(0, box, (n_bg, 3)), dm_clump, gas_clump]), box)
+    ptype = np.concatenate([
+        np.ones(n_bg, np.int32), np.ones(n_clump, np.int32),
+        np.zeros(n_clump, np.int32)])
+    mass = np.where(ptype == 0, 1.0, 5.0)
+    n = len(pos)
+    pdata = ParticleData.from_numpy(
+        pos, np.zeros((n, 3)), mass, ptype, np.arange(n) + 1, box)
+    cp = Cosmology(Omega0=0.3, OmegaLambda=0.7, HubbleParam=0.7,
+                   OmegaBaryon=0.05, TimeBegin=0.1).init_units(units)
+    cfg = SimConfig(
+        boxsize=box, nmesh=16, output_dir=str(tmp_path),
+        timeline=Timeline([0.105], TimeIC=0.1, TimeMax=0.105),
+        units=units, hydro_on=True, tree_grav_on=True,
+        cooling_on=True, random_particle_offset=0.0,
+        black_hole_on=True, bh_seed_mass=0.05,
+        min_fof_mass_for_seed=1.0, min_mstar_for_seed=-1.0,
+        snapshot_with_fof=True, fof_min_group_length=32)
+    sim = Simulation(cp, pdata, cfg, time_ic=0.1)
+    sim.run_sharded(mesh8, verbose=False)
+
+    # PIG written with the clump's group
+    pig = tmp_path / "PIG_000"
+    assert pig.is_dir()
+    bf = BigFile(str(pig))
+    masses = bf.open("FOFGroups/Mass").read()
+    assert len(masses) >= 1
+    # clump: 96 DM x 5.0 + 96 gas x 1.0 (minus the seeded BH's gas row
+    # if seeding precedes... seeding follows the PIG write)
+    assert masses.max() > n_clump * 5.0
+    gid1 = bf.open("1/GroupID").read()
+    assert np.all(np.diff(gid1.astype(np.int64)) >= 0), \
+        "PIG particle blocks must be GrNr-sorted"
+    # the clump is drawn at sigma = 0.8 linking lengths: a few >2sigma
+    # outliers legitimately fall outside the percolation network
+    assert (gid1 == 1).sum() >= n_clump - 12
+    # seeding: exactly one BH, converted from the densest clump gas
+    valid = np.asarray(sim.pdata.valid)
+    pt = np.asarray(sim.pdata.ptype)
+    assert (valid & (pt == 5)).sum() == 1
+    bhm = np.asarray(sim.bh.bh_mass)[valid & (pt == 5)]
+    np.testing.assert_allclose(bhm, 0.05, rtol=1e-6)
+
+
+def test_run_sharded_bh_reposition(mesh8, tmp_path):
+    """BH min-potential repositioning at scale (bhdynfric.c:199-231 +
+    drift.c:32-49): with bh_reposition=True the sharded state carries
+    the PM potential column and the BH jumps exactly onto its kernel
+    minimum-potential neighbor — the same row the single-device
+    semantics select from the mirrored state."""
+    from mpgadget_tpu.run import Simulation, SimConfig
+    from mpgadget_tpu.particles import ParticleData
+    from mpgadget_tpu.cosmology import Cosmology
+    from mpgadget_tpu.timeline import Timeline
+    from mpgadget_tpu.utils import get_unitsystem, constants as C
+
+    units = get_unitsystem(C.CM_PER_KPC, 1.989e43, 1e5)
+    rng = np.random.RandomState(3)
+    box = 2000.0
+    ng = 8
+    n_dm = ng ** 3
+    grid = (np.stack(np.meshgrid(*[np.arange(ng)] * 3),
+                     axis=-1).reshape(-1, 3) + 0.5) / ng * box
+    # a heavy DM clump => deep potential well near the BH
+    well = np.array([0.4 * box, 0.5 * box, 0.5 * box])
+    pos = np.concatenate([
+        grid + rng.uniform(-20, 20, (n_dm, 3)),
+        well + rng.randn(32, 3) * 25.0,
+        grid + box / ng / 2 + rng.uniform(-20, 20, (n_dm, 3)),
+        [well + 60.0 / np.sqrt(3.0)]]) % box
+    ptype = np.concatenate([
+        np.ones(n_dm + 32, np.int32), np.zeros(n_dm, np.int32),
+        [np.int32(5)]])
+    mass = np.concatenate([np.full(n_dm, 5.0), np.full(32, 50.0),
+                           np.full(n_dm, 1.0), [2.0]])
+    n = len(pos)
+    cp = Cosmology(Omega0=0.3, OmegaLambda=0.7, HubbleParam=0.7,
+                   OmegaBaryon=0.05, TimeBegin=0.1).init_units(units)
+
+    def mk(sub):
+        pd = ParticleData.from_numpy(
+            pos, np.zeros((n, 3)), mass, ptype, np.arange(n) + 1,
+            box)
+        c = SimConfig(
+            boxsize=box, nmesh=16, output_dir=str(tmp_path / sub),
+            timeline=Timeline([0.102], TimeIC=0.1, TimeMax=0.102),
+            units=units, hydro_on=True, tree_grav_on=True,
+            cooling_on=True, random_particle_offset=0.0,
+            black_hole_on=True, bh_seed_mass=0.1,
+            bh_reposition=True)
+        return Simulation(cp, pd, c, time_ic=0.1)
+
+    def bh_pos(sim):
+        valid = np.asarray(sim.pdata.valid)
+        pt = np.asarray(sim.pdata.ptype)
+        bhr = np.flatnonzero(valid & (pt == 5))
+        assert len(bhr) == 1
+        return (np.asarray(sim.pdata.ipos)[bhr[0]].astype(np.float64)
+                / 2 ** 32 * box)
+
+    bh_start = pos[-1]
+
+    sim_p = mk("p")
+    sim_p.run_sharded(mesh8, max_steps=1, verbose=False)
+    p_sharded = bh_pos(sim_p)
+    # the BH must have JUMPED onto a neighbor (one step drifts < 1 kpc
+    # from rest; any jump target is >= 5 kpc away)
+    d0 = p_sharded - bh_start
+    d0 -= np.round(d0 / box) * box
+    assert np.linalg.norm(d0) > 5.0, np.linalg.norm(d0)
+
+    # the landing point is the true min-pot in-kernel neighbor of the
+    # final state (the jump is idempotent: the BH sits ON its target,
+    # so re-deriving the argmin from the carried potential column must
+    # select the particle it sits on)
+    valid = np.asarray(sim_p.pdata.valid)
+    pt = np.asarray(sim_p.pdata.ptype)
+    pot = np.asarray(sim_p.pdata.potential)
+    pp = (np.asarray(sim_p.pdata.ipos).astype(np.float64)
+          / 2 ** 32 * box)
+    bhr = np.flatnonzero(valid & (pt == 5))[0]
+    h = float(np.asarray(sim_p.pdata.hsml)[bhr])
+    d = pp - p_sharded[None, :]
+    d -= np.round(d / box) * box
+    r = np.linalg.norm(d, axis=1)
+    srcs = valid & np.isin(pt, [0, 1, 4, 5]) & (r < h)
+    assert srcs.any()
+    im = np.argmin(np.where(srcs, pot, np.inf))
+    assert r[im] < 1.0, (r[im], pot[im], pot[bhr])
+
+    # single-device semantics pick the same min-pot neighbor
+    sim_s = mk("s")
+    sim_s.run(max_steps=1, verbose=False)
+    p_single = bh_pos(sim_s)
+    dd = p_sharded - p_single
+    dd -= np.round(dd / box) * box
+    # same target particle: both runs drift it < 1e-3 box; different
+    # targets would be >= the inter-particle spacing apart
+    assert np.linalg.norm(dd) < 2.0, np.linalg.norm(dd)
+
+
+def test_run_sharded_aux_physics(mesh8, tmp_path):
+    """QSO helium reionization, excursion-set UVBG and lensing planes
+    inside run_sharded (run.c:605-727 at scale): bubbles around halos
+    of the DISTRIBUTED catalog ionize exactly the in-radius gas, the
+    J21 readout marks reionized gas, the FITS plane equals a
+    recomputation from the mirrored host state byte-for-byte, and the
+    single-device loop ionizes the same particle set."""
+    from mpgadget_tpu.run import Simulation, SimConfig
+    from mpgadget_tpu.particles import ParticleData
+    from mpgadget_tpu.cosmology import Cosmology
+    from mpgadget_tpu.timeline import Timeline
+    from mpgadget_tpu.utils import get_unitsystem, constants as C
+
+    units = get_unitsystem(C.CM_PER_KPC, 1.989e43, 1e5)
+    rng = np.random.RandomState(11)
+    box = 8000.0
+    ng = 8
+    n_bg = ng ** 3
+    grid = (np.stack(np.meshgrid(*[np.arange(ng)] * 3),
+                     axis=-1).reshape(-1, 3) + 0.5) / ng * box
+    # one massive DM halo straddling a shard boundary, gas inside the
+    # future QSO bubble (r < 0.3 R) and far outside it (background)
+    halo_c = np.array([box / 2, box / 3, box / 3])
+    R_bub = 600.0
+    n_halo, n_in = 64, 48
+    pos = np.concatenate([
+        grid + rng.uniform(-40, 40, (n_bg, 3)),            # bg DM
+        halo_c + rng.randn(n_halo, 3) * 60.0,              # halo DM
+        halo_c + rng.randn(n_in, 3) * 0.3 * R_bub / 3,     # gas in
+        grid + box / ng / 2 + rng.uniform(-40, 40, (n_bg, 3)),  # gas
+        halo_c + rng.randn(16, 3) * 50.0,                  # stars
+    ]) % box
+    # background gas closer than 2 R_bub to the halo would blur the
+    # in/out margin: push it out
+    d_bg = pos[n_bg + n_halo + n_in:n_bg + n_halo + n_in + n_bg] \
+        - halo_c
+    d_bg -= np.round(d_bg / box) * box
+    rr = np.sqrt((d_bg ** 2).sum(1))
+    close = rr < 2.0 * R_bub
+    shift = np.where(close[:, None], 2.5 * R_bub
+                     * d_bg / np.maximum(rr, 1.0)[:, None], 0.0)
+    pos[n_bg + n_halo + n_in:n_bg + n_halo + n_in + n_bg] = \
+        (pos[n_bg + n_halo + n_in:n_bg + n_halo + n_in + n_bg]
+         + shift) % box
+    ptype = np.concatenate([
+        np.ones(n_bg + n_halo, np.int32),
+        np.zeros(n_in, np.int32), np.zeros(n_bg, np.int32),
+        np.full(16, 4, np.int32)])
+    mass = np.where(ptype == 1, 50.0,
+                    np.where(ptype == 4, 10.0, 1.0))
+    n = len(pos)
+    cp = Cosmology(Omega0=0.3, OmegaLambda=0.7, HubbleParam=0.7,
+                   OmegaBaryon=0.05, TimeBegin=0.1).init_units(units)
+
+    # HeII table spanning the run's z ~ 9 epoch
+    hist_path = tmp_path / "heii.txt"
+    with open(hist_path, "w") as fh:
+        fh.write("1.7\n150.0\n")
+        for z, x, lm in [(12.0, 0.0, 0.0), (10.0, 0.02, 1e-33),
+                         (8.0, 0.6, 2e-33), (6.0, 0.999, 1e-33)]:
+            fh.write(f"{z} {x} {lm}\n")
+
+    def mk(sub):
+        pd = ParticleData.from_numpy(
+            pos, np.zeros((n, 3)), mass, ptype, np.arange(n) + 1,
+            box)
+        c = SimConfig(
+            boxsize=box, nmesh=16, output_dir=str(tmp_path / sub),
+            timeline=Timeline([0.102], TimeIC=0.1, TimeMax=0.102),
+            units=units, hydro_on=True, tree_grav_on=True,
+            cooling_on=True, random_particle_offset=0.0,
+            qso_lightup_on=True, reion_hist_file=str(hist_path),
+            qso_min_mass=1000.0, qso_max_mass=1e8,
+            qso_mean_bubble=R_bub, qso_var_bubble=0.0,
+            excursion_set_on=True, excursion_set_zstart=12.0,
+            excursion_set_zstop=5.0, uvbg_dim=32,
+            reion_use_particle_sfr=False,
+            # partial reionization on the 8 Mpc box: the halo's cell
+            # crosses the f_coll threshold, the whole box does not
+            reion_nion_phot_per_bary=10.0,
+            reion_r_bubble_max=3000.0,
+            plane_output_list="0.1", plane_resolution=64,
+            fof_min_group_length=32)
+        return Simulation(cp, pd, c, time_ic=0.1)
+
+    sim = mk("p")
+    sim.run_sharded(mesh8, max_steps=1, verbose=False)
+
+    # --- QSO: exactly the in-bubble gas is ionized and heated ---
+    valid = np.asarray(sim.pdata.valid)
+    gas = valid & (np.asarray(sim.pdata.ptype) == 0)
+    ion = np.asarray(sim.sph.he_iii_ionized) > 0
+    pp = (np.asarray(sim.pdata.ipos).astype(np.float64)
+          / 2 ** 32 * box)
+    d = pp - halo_c
+    d -= np.round(d / box) * box
+    r = np.sqrt((d ** 2).sum(1))
+    # bubble is centered on the halo CM (within the halo's ~60 kpc
+    # spread): the r < 0.3 R gas is in, the r > 2 R gas is out
+    assert ion[gas & (r < 0.3 * R_bub)].all()
+    assert not ion[gas & (r > 2.0 * R_bub)].any()
+    helium = tmp_path / "p" / "helium.txt"
+    assert helium.exists()
+    assert len(open(helium).read().strip().splitlines()) >= 1
+
+    # --- excursion set: stars+halo reionize their cell ---
+    j21 = np.asarray(sim.sph.local_j21)
+    zre = np.asarray(sim.sph.zreion)
+    assert (j21[gas] > 0).any(), "no UVBG built around the halo"
+    assert (zre[gas & (j21 > 0)] > 0).all()
+    assert (zre[gas] < 0).any(), "whole box reionized (degenerate)"
+
+    # --- planes: sharded FITS == host recomputation, byte level ---
+    import glob
+    fits = sorted(glob.glob(str(tmp_path / "p" / "snap0_*.fits")))
+    assert len(fits) == 3                      # normals 0,1,2
+    orig = {f: open(f, "rb").read() for f in fits}
+    from mpgadget_tpu.physics.plane import write_planes
+    write_planes(sim, 0, sim._plane_params)    # host pdata path
+    for f in fits:
+        assert open(f, "rb").read() == orig[f], f
+
+    # --- single-device agreement: same ionized set, same zreion ---
+    sim_s = mk("s")
+    sim_s.run(max_steps=1, verbose=False)
+    v_s = np.asarray(sim_s.pdata.valid)
+    ion_s = set(np.asarray(sim_s.pdata.pid)[
+        v_s & (np.asarray(sim_s.sph.he_iii_ionized) > 0)])
+    ion_p = set(np.asarray(sim.pdata.pid)[valid & ion])
+    assert ion_p == ion_s
+    zre_s = np.asarray(sim_s.sph.zreion)
+    re_p = set(np.asarray(sim.pdata.pid)[valid & (zre > 0)])
+    re_s = set(np.asarray(sim_s.pdata.pid)[v_s & (zre_s > 0)])
+    sym = re_p ^ re_s
+    assert len(sym) <= max(2, len(re_p) // 50), \
+        f"zreion sets differ by {len(sym)}"

@@ -60,10 +60,15 @@ def make_tables_eh(ps):
         print("Sigma8 not set in the paramfile; normalizing the EH "
               "spectrum to sigma8(z=0) = 0.8")
         sigma8 = 0.8
+    # The sigma8 normalization defines the amplitude at z=0
+    # (tophat_sigma2 of the raw EH transfer); InputPowerRedshift=0 +
+    # InitTime=a(zin) makes PowerSpec carry it to the OUTPUT redshift
+    # with the growth factor.  (Passing zin for both left the emitted
+    # "z=zin" table at z=0 amplitude: D(a<-a)=1.)
     par = PowerParams(
         FileWithInputSpectrum="",  # force the EH branch
         Sigma8=sigma8, PrimordialIndex=ps["PrimordialIndex"],
-        InputPowerRedshift=zin, WhichSpectrum=0)
+        InputPowerRedshift=0, WhichSpectrum=0)
     spec = PowerSpec(par, cp, InitTime=atime,
                      UnitLength_in_cm=ps["UnitLength_in_cm"])
     k = np.logspace(-5, 2.3, 600)                   # h/Mpc
