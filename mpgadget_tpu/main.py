@@ -222,6 +222,23 @@ def init_distributed():
     return True
 
 
+def device_mesh_or_none():
+    """The production dispatch rule (the reference is one binary
+    end-to-end, gadget/main.c:56-131): with more than one device
+    visible — a TPU pod slice, multiple local chips, or a virtual CPU
+    mesh — build a 1-D 'x' mesh over ALL devices and drive
+    ``Simulation.run_sharded``.  One device falls back to the fused
+    single-chip loop.  MPG_SHARDED=0 forces the single-device loop;
+    MPG_SHARDED=1 forces the sharded loop even on one device."""
+    import jax
+    force = os.environ.get("MPG_SHARDED", "")
+    n = jax.device_count()
+    if force == "0" or (n == 1 and force != "1"):
+        return None
+    from jax.sharding import Mesh
+    return Mesh(np.array(jax.devices()), ("x",))
+
+
 def main():
     if len(sys.argv) < 2:
         print(__doc__)
@@ -256,7 +273,16 @@ def main():
         D1 = sim.CP.GrowthFactor(sim.atime, 1.0)
         print(sim.last_power.save(sim.cfg.output_dir, sim.atime, D1))
         return
-    sim.run()
+    mesh = device_mesh_or_none()
+    if mesh is not None:
+        # SplitGravityTimestepsOn routes to the hierarchical
+        # per-particle-timebin driver (run.c:374-520 at scale)
+        sim.run_sharded(
+            mesh,
+            hierarchical=bool(sim.cfg.split_gravity_timesteps
+                              and sim.cfg.tree_grav_on))
+    else:
+        sim.run()
 
 
 if __name__ == "__main__":

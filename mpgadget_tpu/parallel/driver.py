@@ -617,6 +617,9 @@ def build_sharded_step(mesh, *, n_local, with_gas, hops_ghost, hops_pm,
         spawn_ovf = jnp.bool_(False)
         sfr_sum = jnp.float32(0.0)
         sm_sum = jnp.float32(0.0)
+        sf_dtime_sum = jnp.float32(0.0)
+        sf_count = jnp.int32(0)
+        mass_formed_sum = jnp.float32(0.0)
         if hierarchical:
             # each closing particle integrates its source terms over
             # its OWN full bin interval (cooling_and_starformation on
@@ -645,6 +648,22 @@ def build_sharded_step(mesh, *, n_local, with_gas, hops_ghost, hops_pm,
             # sfr_eff.c:381)
             sm_sum = lax.psum(
                 jnp.sum(jnp.where(gas_src, out["sm"], 0.0)), "x")
+            # write_sfr's rate_in_msunperyear needs sum(dtime) and the
+            # count over the star-forming set (sfr_eff.c:343-364), and
+            # col 5 is the mass ACTUALLY formed this step (child
+            # masses, sfr_eff.c:319-328) — gather all three before
+            # spawn_rows mutates the row masses
+            on_sf = out["on_eeqos"] & gas_src
+            dt_sf = jnp.broadcast_to(
+                jnp.asarray(scal_src["dloga_full"], jnp.float32)
+                / scal["hubble"], on_sf.shape)
+            sf_dtime_sum = lax.psum(
+                jnp.sum(jnp.where(on_sf, dt_sf, 0.0)), "x")
+            sf_count = lax.psum(jnp.sum(on_sf.astype(jnp.int32)), "x")
+            mass_formed_sum = lax.psum(jnp.sum(jnp.where(
+                out["make_star"] & gas_src,
+                jnp.where(out["convert"], st["mass"],
+                          out["star_mass"]), 0.0)), "x")
             if wind_fn is not None:
                 # subgrid winds kick the star-forming gas itself before
                 # spawning (winds_make_after_sf, winds.c:454)
@@ -741,6 +760,9 @@ def build_sharded_step(mesh, *, n_local, with_gas, hops_ghost, hops_pm,
             "n_valid": lax.psum(jnp.sum(valid.astype(jnp.int32)), "x"),
             "sfr_sum": sfr_sum,
             "sm_sum": sm_sum,
+            "sf_dtime_sum": sf_dtime_sum,
+            "sf_count": sf_count,
+            "mass_formed_sum": mass_formed_sum,
             "star_mass_sum": lax.psum(jnp.sum(jnp.where(
                 valid & (st["ptype"] == 4), st["mass"], 0.0)), "x"),
             "n_spawned": nspawn,
@@ -789,6 +811,7 @@ def build_sharded_step(mesh, *, n_local, with_gas, hops_ghost, hops_pm,
     stats_keys = ["vsum", "count", "min_mass", "max_acc",
                   "min_h_over_sig", "min_h_over_dth", "hist",
                   "n_valid", "hmax", "sfr_sum", "sm_sum",
+                  "sf_dtime_sum", "sf_count", "mass_formed_sum",
                   "star_mass_sum", "n_spawned"]
     if hierarchical:
         stats_keys += ["min_act_bin", "bin_hist", "n_closing"]

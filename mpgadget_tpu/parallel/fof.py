@@ -544,6 +544,18 @@ def sharded_fof(mesh, st, bounds, *, boxsize, mean_sep, n_local,
     sync points to keep compiled programs warm.
     """
     S = int(mesh.devices.size)
+    # the min-label sweep carries SORTED-SPACE row indices through the
+    # f32 pair reduction (_components docstring): exact only below
+    # 2^24.  n_rows = n_local + ghosts <= 2*n_local (ghost_cap is
+    # clamped to n_local), so guard the worst case loudly instead of
+    # silently corrupting labels (fof.c:158-330 has no such limit —
+    # use more shards to stay under it).
+    if 2 * n_local > (1 << 24):
+        raise ValueError(
+            f"sharded FOF: {n_local} rows/shard can exceed the 2^24 "
+            "f32-exact row-index limit of the pair reduction once "
+            "ghost strips are appended; rerun with more shards "
+            f"(need n_local <= {1 << 23})")
     cache = cache if cache is not None else {}
     ll = params.linking_length * mean_sep
     ll_box = ll / boxsize

@@ -947,6 +947,18 @@ class Simulation:
             self.pdata = self.pdata.replace(vel=vel_new)
             self.sph = self.sph.replace(entropy=ent_new,
                                         delay_time=delay_new)
+        # write_sfr stats gathered BEFORE spawn_stars mutates masses
+        # (sfr_eff.c:319-364): sum(dtime) + count over the
+        # star-forming set, and the child masses actually formed
+        on_sf = out["on_eeqos"]
+        dt_sf = jnp.broadcast_to(
+            jnp.asarray(dloga, jnp.float32) / hubble, on_sf.shape)
+        sum_dtime = float(jnp.sum(jnp.where(on_sf, dt_sf, 0.0)))
+        n_sf = int(jnp.sum(on_sf.astype(jnp.int32)))
+        mass_formed = float(jnp.sum(jnp.where(
+            out["make_star"],
+            jnp.where(out["convert"], self.pdata.mass,
+                      out["star_mass"]), 0.0)))
         nstar = int(jnp.sum(out["make_star"].astype(jnp.int32)))
         new_star = None
         if nstar > 0:
@@ -986,20 +998,24 @@ class Simulation:
                 delay_time=windmod.winds_decouple_update(
                     self._winds, self.sph.delay_time,
                     self.sph.density, dloga / hubble_now, atime))
-        # sfr.txt in the reference's 5-column layout (write_sfr,
-        # stats.c:75-168): a, total_sm (mass formed this step,
-        # internal), totsfrrate (= rate, internal units omitted: we
-        # store Msun/yr in both rate columns), rate_in_msunperyear,
-        # total star mass (internal)
+        # sfr.txt in the reference's 8-column layout (write_sfr,
+        # sfr_eff.c:381): a, total_sm (expected mass formed, internal),
+        # totsfrrate (Msun/yr), rate_in_msunperyear
+        # (= total_sm * n_sf / sum_dtime * UnitSfr — the rate implied
+        # by total_sm over the mean star-forming dt, a DISTINCT
+        # quantity from col 3), mass actually formed this step,
+        # mean dt, n star-forming, n new stars
         total_sfr = float(jnp.sum(self.sph.sfr))
         total_sm = float(jnp.sum(jnp.where(gas, out["sm"], 0.0)))
-        star_mass = float(jnp.sum(jnp.where(
-            self.pdata.valid & (self.pdata.ptype == 4),
-            self.pdata.mass, 0.0)))
+        rate_msun = (total_sm * n_sf / sum_dtime
+                     * self._sfr.UnitSfr_in_solar_per_year
+                     if sum_dtime > 0 else 0.0)
+        mean_dt = sum_dtime / n_sf if n_sf > 0 else 0.0
         with open(os.path.join(self.cfg.output_dir, "sfr.txt"),
                   "a") as fh:
-            fh.write(f"{atime:g} {total_sm:g} {total_sfr:g} "
-                     f"{total_sfr:g} {star_mass:g}\n")
+            fh.write(f"{atime:.12g} {total_sm:g} {total_sfr:g} "
+                     f"{rate_msun:g} {mass_formed:g} "
+                     f"{mean_dt:g} {n_sf} {nstar}\n")
 
     def find_hydro_timestep_dloga(self):
         """Courant + Hsml-change criteria (timestep.c:1075-1090)."""
@@ -2084,18 +2100,27 @@ class Simulation:
             endrun(3, "sharded metal return: retries exhausted")
 
         def write_sfr_line(stats):
-            # sfr.txt from the psum'd totals, the same 5-column
-            # reference layout the single-device loop writes
-            # (write_sfr, sfr_eff.c:381)
+            # sfr.txt from the psum'd totals, the 8-column reference
+            # layout (sfr_eff.c:381): a, total_sm, totsfrrate,
+            # rate_in_msunperyear = total_sm*n_sf/sum_dtime * UnitSfr,
+            # mass actually formed, mean dt, n star-forming, n new
             if not (with_sfr and jax.process_index() == 0):
                 return
-            sfr_tot = float(stats['sfr_sum'])
+            sm_tot = float(stats['sm_sum'])
+            dt_tot = float(stats['sf_dtime_sum'])
+            n_sf = int(stats['sf_count'])
+            rate_msun = (sm_tot * n_sf / dt_tot
+                         * self._sfr.UnitSfr_in_solar_per_year
+                         if dt_tot > 0 else 0.0)
+            mean_dt = dt_tot / n_sf if n_sf > 0 else 0.0
             with open(os.path.join(self.cfg.output_dir,
                                    "sfr.txt"), "a") as fh:
-                fh.write(f"{self.atime:g} "
-                         f"{float(stats['sm_sum']):g} "
-                         f"{sfr_tot:g} {sfr_tot:g} "
-                         f"{float(stats['star_mass_sum']):g}\n")
+                fh.write(f"{self.atime:.12g} {sm_tot:g} "
+                         f"{float(stats['sfr_sum']):g} "
+                         f"{rate_msun:g} "
+                         f"{float(stats['mass_formed_sum']):g} "
+                         f"{mean_dt:g} {n_sf} "
+                         f"{int(stats['n_spawned'])}\n")
 
         io_cache = {}
         fof_cache = {}
@@ -2103,29 +2128,63 @@ class Simulation:
 
         def apply_lightcone(t0, t1, a1):
             """Horizon-crossing output from the sharded state
-            (lightcone_compute, lightcone.c:176-190): the crossing
-            test is elementwise jax over the global arrays; crossers
-            are rare and appended host-side by rank 0."""
-            if not self.cfg.lightcone_on or jax.process_index() != 0:
+            (lightcone_compute, lightcone.c:176-221 at scale): each
+            shard detects its OWN crossers on device (the reference's
+            rank-local crossing test) and compacts them into a small
+            fixed-cap buffer; every process appends only its
+            addressable shards' rows to its own stripe file — no
+            fetch_global, host peak memory O(cap)/shard."""
+            if not self.cfg.lightcone_on:
                 return
-            from .physics.lightcone import Lightcone
-            from .parallel.mesh import fetch_global
+            from .physics.lightcone import Lightcone, \
+                build_sharded_cross
             if getattr(self, "_lightcone", None) is None:
                 self._lightcone = Lightcone(
                     self.CP, self.time_ic,
                     self.cfg.units.UnitVelocity_in_cm_per_s,
-                    self.cfg.output_dir, self.cfg.boxsize)
-            ddrift = self.tf.drift(t0, t1)
-            off = jnp.asarray(self._ipos_offset)
-            pos = ((state["ipos"] - off[None, :]).astype(jnp.float32)
-                   * jnp.float32(2.0 ** -32 * self.cfg.boxsize))
-            is_dm = state["valid"] & (state["ptype"] == 1)
+                    self.cfg.output_dir, self.cfg.boxsize,
+                    task=jax.process_index())
+            lc = self._lightcone
+            lc.set_time(a1)
+            if lc.sample_fraction <= 0:
+                return
+            reps = lc.replicas()
+            if not reps:
+                return
             self.walltime.start("Lightcone")
-            self._lightcone.compute(
-                a1, ddrift, jnp.asarray(fetch_global(pos)),
-                jnp.asarray(fetch_global(state["vel"])),
-                jnp.asarray(fetch_global(is_dm)),
-                jnp.asarray(fetch_global(state["pid"])))
+            sub = {k: state[k] for k in
+                   ("ipos", "vel", "valid", "ptype", "pid")}
+            scal0 = {
+                "off": jnp.asarray(self._ipos_offset),
+                "box": jnp.float32(self.cfg.boxsize),
+                "ddrift": jnp.float32(self.tf.drift(t0, t1)),
+                "hd_prev2": jnp.float32(lc.hd_prev2),
+                "hd2": jnp.float32(lc.hd2),
+                "hd_prev": jnp.float32(lc.hd_prev),
+                "hd": jnp.float32(lc.hd),
+                "samplefrac": jnp.float32(lc.sample_fraction),
+            }
+            cap = bp.setdefault("lc_cap", max(256, n_local // 64))
+            for rep in reps:
+                scal0["rep"] = jnp.asarray(rep, jnp.float32)
+                while True:
+                    key = ("lc", cap)
+                    if key not in io_cache:
+                        io_cache[key] = build_sharded_cross(
+                            device_mesh, cap=cap)
+                    rows, ok, ovf = io_cache[key](sub, scal0)
+                    if not int(ovf):
+                        break
+                    cap = min(2 * cap, n_local)
+                    bp["lc_cap"] = cap
+                mine = []
+                for sh_r, sh_o in zip(rows.addressable_shards,
+                                      ok.addressable_shards):
+                    o = np.asarray(sh_o.data)
+                    if o.any():
+                        mine.append(np.asarray(sh_r.data)[o])
+                if mine:
+                    lc.append_rows(np.concatenate(mine))
             self.walltime.stop("Lightcone")
 
         def sharded_cat():
@@ -2423,6 +2482,50 @@ class Simulation:
                                 and sp.write_snapshot):
                 do_sharded_fof()
 
+        # ---- HCI: stop/checkpoint/terminate control files,
+        # TimeLimitCPU budget and auto-checkpoint (hci.c; run.c:391-398)
+        # queried at PM boundaries.  Rank 0 decides (the reference's
+        # task-0 hci_query + broadcast) and the action is agreed across
+        # processes; checkpoints go through the collective striped
+        # writer, so a multi-day pod run can be cleanly stopped. ----
+        from .utils.hci import (HCIManager, HCI_STOP, HCI_TERMINATE,
+                                HCI_CHECKPOINT, HCI_TIMEOUT,
+                                HCI_AUTO_CHECKPOINT)
+        hci = HCIManager(self.cfg.output_dir,
+                         time_limit_cpu=self.cfg.time_limit_cpu,
+                         auto_checkpoint_time=self.cfg.auto_snapshot_time)
+
+        def write_checkpoint():
+            from .parallel.snapshot import write_snapshot_sharded
+            write_snapshot_sharded(
+                self, device_mesh, state, n_local, cache=io_cache,
+                with_gas=with_gas, with_sfr=with_sfr,
+                with_metals=with_metals, with_bh=with_bh)
+
+        def hci_check():
+            """Returns True when the loop must stop.  A checkpoint
+            request (explicit file or AutoSnapshotTime cadence) writes
+            a striped snapshot and continues."""
+            action = hci.query() if jax.process_index() == 0 else 0
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+                action = int(multihost_utils.broadcast_one_to_all(
+                    np.int32(action)))
+            if action in (HCI_STOP, HCI_TIMEOUT):
+                write_checkpoint()
+                if verbose:
+                    from .utils.log import message
+                    message("[hci] stop requested: checkpoint written"
+                            if action == HCI_STOP else
+                            "[hci] TimeLimitCPU reached: checkpoint "
+                            "written")
+                return True
+            if action == HCI_TERMINATE:
+                return True
+            if action in (HCI_CHECKPOINT, HCI_AUTO_CHECKPOINT):
+                write_checkpoint()
+            return False
+
         if hierarchical:
             # ---- per-particle timebin loop (timestep.c:298-503 at
             # scale; the sharded analog of step_hierarchical) ----
@@ -2514,6 +2617,10 @@ class Simulation:
                 return cap if cap <= nb // 2 else None
 
             while self.ti_current < self.timeline.ti_end:
+                if hci_check():
+                    break
+                import time as _t
+                _pm_t0 = _t.monotonic()
                 t0 = self.ti_current
                 a0 = self.atime
                 if pm_stats is None:
@@ -2669,6 +2776,7 @@ class Simulation:
                     bounds_np = balanced_boundaries(
                         np.asarray(pm_stats["hist"]), S)
                 sync_outputs()
+                hci.update_longest_step(_t.monotonic() - _pm_t0)
                 if verbose:
                     from .utils.log import message
                     message(f"[sharded-hier step {nsteps}] "
@@ -2683,6 +2791,10 @@ class Simulation:
         nsteps = 0
         stats = None
         while self.ti_current < self.timeline.ti_end:
+            if hci_check():
+                break
+            import time as _t
+            _pm_t0 = _t.monotonic()
             if stats is None:
                 dti = self.find_pm_timestep()
                 if with_gas:
@@ -2800,6 +2912,7 @@ class Simulation:
                 bounds_np = balanced_boundaries(
                     np.asarray(stats["hist"]), S)
             sync_outputs()
+            hci.update_longest_step(_t.monotonic() - _pm_t0)
             if verbose:
                 from .utils.log import message
                 message(f"[sharded step {nsteps}] a={self.atime:.5f} "
