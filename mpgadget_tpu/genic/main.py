@@ -14,9 +14,11 @@ from ..cosmology import Cosmology
 from ..utils import get_unitsystem, constants as C
 from ..io.bigfile import BigFile
 from ..io import snapshot as snap_io
-from .power import PowerSpec, PowerParams, DELTA_BAR, DELTA_CDM, DELTA_CB
+from .power import (PowerSpec, PowerParams, DELTA_BAR, DELTA_CDM,
+                    DELTA_CB, DELTA_NU)
 from .zeldovich import generate_ic_species
-from .thermal import thermal_vel_disp, add_thermal_velocities
+from .thermal import (thermal_vel_disp, add_thermal_velocities,
+                      ThermalVel, NU_V0)
 
 
 def run_genic(paramfile_or_ps, override=None):
@@ -89,6 +91,39 @@ def run_genic(paramfile_or_ps, override=None):
         shift_cdm = 0.0
         tcdm = DELTA_CB
 
+    # neutrino particle species (genic/main.c:62-99,205-236): a third
+    # lattice of NgridNu^3 type-2 particles carrying the slow tail of
+    # the Fermi-Dirac distribution (truncated at Max_nuvel), displaced
+    # with the DELTA_NU transfer function.  Without gas the CDM/nu
+    # lattices get mass-weighted offsets like the CDM/gas pair.
+    ngrid_nu = int(ps["NgridNu"])
+    omega_nu = cp.ONu(1.0)
+    total_nufrac = 0.0
+    nu_therm = None
+    mass_nu = 0.0
+    if ngrid_nu > 0:
+        if not produce_gas:
+            mean_sep = boxsize / max(ngrid, ngrid_nu)
+            shift_nu = -0.5 * (cp.Omega0 - omega_nu) / cp.Omega0 \
+                * mean_sep
+            shift_cdm = 0.5 * omega_nu / cp.Omega0 * mean_sep
+        else:
+            shift_nu = 0.0
+        # F-D sampler truncated at Max_nuvel: the particles carry only
+        # the slow fraction of the distribution; the rest stays in the
+        # linear-response field (hybrid neutrinos).  v_th = kB T_nu /
+        # (m_nu c^2) * c / a, peculiar km/s (thermal.c NU_V0).
+        kb_mnu = 3.0 * cp.ONu.kBtnu / (cp.MNu[0] + cp.MNu[1]
+                                       + cp.MNu[2])
+        v_th = NU_V0(atime, kb_mnu, units.UnitVelocity_in_cm_per_s)
+        if not use_pec:
+            v_th /= np.sqrt(atime)
+        nu_therm = ThermalVel(v_th, max_fd=ps["Max_nuvel"] / v_th)
+        total_nufrac = nu_therm.total_frac
+        # particle mass carries only the sampled mass fraction
+        # (libgenic/save.c:99-104 compute_mass)
+        mass_nu = total_nufrac * omega_nu * rho / ngrid_nu ** 3
+
     outdir = ps["OutputDir"]
     os.makedirs(outdir, exist_ok=True)
     path = os.path.join(outdir, ps["FileBase"])
@@ -133,6 +168,23 @@ def run_genic(paramfile_or_ps, override=None):
         icg["pid"] = icg["pid"] + ngrid ** 3
         species.append((0, icg, mass_gas))
 
+    if ngrid_nu > 0:
+        icn = generate_ic_species(
+            pspec, cp, seed=ps["Seed"], ngrid=ngrid_nu, nmesh=nmesh,
+            boxsize=boxsize, atime=atime, ptype=DELTA_NU,
+            shift=shift_nu,
+            unitary=bool(ps["UnitaryAmplitude"]),
+            invert=bool(ps["InvertPhase"]),
+            use_peculiar_velocity=use_pec,
+            scale_dep_velocity=ppar.ScaleDepVelocity)
+        icn["pid"] = icn["pid"] + ngrid ** 3 \
+            + (ngrid_gas ** 3 if produce_gas else 0)
+        # random F-D thermal speeds, deterministic Seed+2 stream
+        # (genic/main.c:224-231)
+        add_thermal_velocities(icn, nu_therm, ps["Seed"] + 2, atime,
+                               use_pec)
+        species.append((2, icn, mass_nu))
+
     if ps["MWDM_therm"] > 0:
         vtherm = thermal_vel_disp_wdm(ps["MWDM_therm"], atime, cp,
                                       units)
@@ -167,6 +219,7 @@ def run_genic(paramfile_or_ps, override=None):
         UnitMass_in_g=units.UnitMass_in_g,
         UnitVelocity_in_cm_per_s=units.UnitVelocity_in_cm_per_s,
         UsePeculiarVelocity=int(use_pec), RSDFactor=rsd,
+        FractionNuInParticles=total_nufrac,
     )
     snap_io.write_header(bf, header)
     print(f"Wrote ICs to {path}: N = {ntot.tolist()}")

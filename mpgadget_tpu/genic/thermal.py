@@ -73,8 +73,12 @@ def thermal_vel_disp(*args, **kwargs):
 
 
 def add_thermal_velocities(ic, v_amp, seed, atime, use_peculiar):
-    """Add thermal velocities to an IC species dict (internal units)."""
-    tv = ThermalVel(v_amp)
+    """Add thermal velocities to an IC species dict (internal units).
+
+    v_amp: a velocity amplitude (full F-D distribution) or a
+    pre-built :class:`ThermalVel` (e.g. truncated at Max_nuvel for
+    hybrid neutrino particles, genic/main.c:96)."""
+    tv = v_amp if isinstance(v_amp, ThermalVel) else ThermalVel(v_amp)
     rng = np.random.RandomState(seed)
     # v_amp is in file (peculiar) units; internal = file * a
     vpec = np.zeros_like(ic["vel"])

@@ -42,6 +42,9 @@ class SnapshotHeader:
     class_radiation_convention: int = 0
     RSDFactor: float = 0.0
     DensityKernel: int = 2
+    # mass fraction of neutrinos sampled as type-2 particles (hybrid
+    # neutrinos; libgenic/save.c:130)
+    FractionNuInParticles: float = 0.0
 
     def __post_init__(self):
         if self.TotNumPartInit is None:
@@ -62,6 +65,7 @@ def write_header(bf: BigFile, h: SnapshotHeader, code_version="mpgadget_tpu"):
     a["W0_Fld"] = float(h.w0_fld)
     a["WA_Fld"] = float(h.wa_fld)
     a["RSDFactor"] = float(h.RSDFactor)
+    a["FractionNuInParticles"] = float(h.FractionNuInParticles)
     a["UsePeculiarVelocity"] = np.asarray([h.UsePeculiarVelocity], "<i4")
     a["Omega0"] = float(h.Omega0)
     a["OmegaUR"] = float(h.Omega_ur)
@@ -119,6 +123,7 @@ def read_header(bf: BigFile) -> SnapshotHeader:
         Omega_ur=getf("OmegaUR", 0.0),
         OmegaK=getf("OmegaK", 0.0),
         RSDFactor=getf("RSDFactor", 0.0),
+        FractionNuInParticles=getf("FractionNuInParticles", 0.0),
         DensityKernel=geti("DensityKernel", 2),
     )
 

@@ -151,6 +151,9 @@ def build_simulation(paramfile_or_ps, override=None, snapshot=None):
         random_particle_offset=ps["RandomParticleOffset"],
         massive_nu_lin_resp_on=bool(ps["MassiveNuLinRespOn"]),
         m_nu=(ps["MNue"], ps["MNum"], ps["MNut"]),
+        hybrid_neutrinos_on=bool(ps["HybridNeutrinosOn"]),
+        hybrid_vcrit=ps["Vcrit"],
+        hybrid_nu_part_time=ps["NuPartTime"],
         black_hole_on=bool(ps["BlackHoleOn"]),
         bh_accretion_factor=ps["BlackHoleAccretionFactor"],
         bh_eddington_factor=ps["BlackHoleEddingtonFactor"],
@@ -178,6 +181,7 @@ def build_simulation(paramfile_or_ps, override=None, snapshot=None):
         time_limit_cpu=ps["TimeLimitCPU"],
         auto_snapshot_time=ps["AutoSnapshotTime"],
         output_energy_debug=bool(ps["OutputEnergyDebug"]),
+        output_potential=bool(ps["OutputPotential"]),
         snapshot_with_fof=bool(ps["SnapshotWithFOF"]),
         fof_file_base=ps["FOFFileBase"],
         fof_save_particles=bool(ps["FOFSaveParticles"]),

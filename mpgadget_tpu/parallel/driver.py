@@ -235,7 +235,8 @@ def assign_bins_global(state, with_gas, atime, eta_eps, hubble,
 
 def build_sharded_pm(mesh, *, n_local, hops_pm, nmesh, boxsize, gconst,
                      asmth, hist_bits=12, nbins=0, with_nu=False,
-                     with_gas=True, with_potential=False):
+                     with_gas=True, with_potential=False,
+                     with_nu_tracer=False):
     """PM refresh + boundary half kick for hierarchical stepping
     (compute_forces(tree=False) + apply_PM_half_kick, run.c:605 /
     timestep.c at scale).
@@ -257,13 +258,24 @@ def build_sharded_pm(mesh, *, n_local, hops_pm, nmesh, boxsize, gconst,
         dring = jnp.abs(geo - s_idx)
         dring = jnp.minimum(dring, S - dring)
         pm_far = jnp.any(valid & (dring > hops_pm))
+        gmass = jnp.where(valid, st["mass"], 0.0)
+        if with_nu_tracer:
+            # hybrid-nu passive tracers (gravpm.c:83-85,469-475):
+            # before NuPartTime type-2 rows neither deposit mass nor
+            # receive the PM force; nu_src flips 0->1 at the crossing
+            # without recompiling
+            tr_w = 1.0 - ((st["ptype"] == 2)
+                          & (scal["nu_src"] < 0.5)).astype(jnp.float32)
+            gmass = gmass * tr_w
         res_pm = pm_force_multi(
-            st["ipos"], jnp.where(valid, st["mass"], 0.0), nmesh,
+            st["ipos"], gmass, nmesh,
             boxsize, gconst, asmth, "x", hops_pm,
             nu_logk=scal["nu_logk"] if with_nu else None,
             nu_fac=scal["nu_fac"] if with_nu else None, nbins=nbins,
             with_potential=with_potential)
         acc_pm, pk = res_pm[0], res_pm[1]
+        if with_nu_tracer:
+            acc_pm = acc_pm * tr_w[:, None]
         vel = st["vel"] + acc_pm * scal["fac"]
         full = st["grav_acc"] + acc_pm
         amag = jnp.sqrt(jnp.sum(full * full, axis=-1))
@@ -294,17 +306,24 @@ def build_sharded_pm(mesh, *, n_local, hops_pm, nmesh, boxsize, gconst,
                 stats["pk_norm"] = pk
         upd = {"pm_acc": acc_pm, "vel": vel, "amag": amag}
         if with_potential:
-            upd["potential"] = res_pm[2]
+            # total potential at the boundary = fresh PM + the tree
+            # part each row recorded when it last closed its bin
+            # (P.Potential semantics, gravshort-tree.c:137) — every
+            # bin closes AT the boundary, so this is exact at t1
+            upd["pm_pot"] = res_pm[2]
+            upd["potential"] = res_pm[2] + st["tree_pot"]
         return upd, stats, lax.psum(pm_far.astype(jnp.int32), "x")
 
     st_keys = ("ipos", "vel", "mass", "valid", "ptype", "grav_acc") \
-        + (("gas_mask", "hsml") if with_gas else ())
-    scal_keys = ["fac"] + (["nu_logk", "nu_fac"] if with_nu else [])
+        + (("gas_mask", "hsml") if with_gas else ()) \
+        + (("tree_pot",) if with_potential else ())
+    scal_keys = ["fac"] + (["nu_logk", "nu_fac"] if with_nu else []) \
+        + (["nu_src"] if with_nu_tracer else [])
     stat_keys = ["vsum", "count", "min_mass", "hist", "n_valid",
                  "hmax"] + (["pk_p", "pk_n", "pk_k", "pk_norm"]
                             if nbins else [])
     upd_keys = ["pm_acc", "vel", "amag"] \
-        + (["potential"] if with_potential else [])
+        + (["pm_pot", "potential"] if with_potential else [])
     fn = shard_map(
         pm_local, mesh=mesh,
         in_specs=({k: P("x") for k in st_keys},
@@ -322,7 +341,8 @@ def build_sharded_step(mesh, *, n_local, with_gas, hops_ghost, hops_pm,
                        hist_bits=12, cooling_fn=None, sfr_fn=None,
                        wind_fn=None, extra_state_keys=(), nbins=0,
                        with_nu=False, hierarchical=False,
-                       active_block_cap=None, with_potential=False):
+                       active_block_cap=None, with_potential=False,
+                       with_nu_tracer=False):
     """Build the jitted production step.
 
     step(state, bounds, scal) -> (state', stats, flags) where
@@ -416,6 +436,18 @@ def build_sharded_step(mesh, *, n_local, with_gas, hops_ghost, hops_pm,
         st["mass"] = jnp.where(valid, st["mass"], 0.0)
         gas = (st["gas_mask"] & valid) if with_gas else gas
 
+        # hybrid-nu passive tracers (gravpm.c:83-85 + forcetree
+        # HybridNuGrav): before NuPartTime type-2 rows neither source
+        # gravity (tree moments and PM deposit see zero mass) nor
+        # receive the PM force; nu_src flips 0->1 at the crossing
+        # without recompiling
+        if with_nu_tracer:
+            tr_w = 1.0 - ((st["ptype"] == 2)
+                          & (scal["nu_src"] < 0.5)).astype(jnp.float32)
+            gsrc_mass = st["mass"] * tr_w
+        else:
+            gsrc_mass = st["mass"]
+
         # ---- ghost strips #1: gravity + density sources ----
         if with_gas:
             entvar = jnp.where(
@@ -425,18 +457,18 @@ def build_sharded_step(mesh, *, n_local, with_gas, hops_ghost, hops_pm,
             hmax = lax.pmax(jnp.max(jnp.where(gas, hs_box, 0.0)), "x")
             w1 = jnp.maximum(jnp.float32(rcut_box),
                              hmax * jnp.float32(strip_margin))
-            payload = (st["ipos"], st["mass"], st["vel"], st["hsml"],
+            payload = (st["ipos"], gsrc_mass, st["vel"], st["hsml"],
                        entvar, gas)
         else:
             w1 = jnp.float32(rcut_box)
-            payload = (st["ipos"], st["mass"])
+            payload = (st["ipos"], gsrc_mass)
         ghosts, g_ok, g_ovf = ghost_strips_multi(
             payload, st["ipos"], valid, "x", bounds, w1, ghost_cap,
             hops_ghost)
         ng = ghosts[0].shape[0]
         cat = lambda a, b: jnp.concatenate([a, b], axis=0)
         ipos_a = cat(st["ipos"], ghosts[0])
-        mass_a = cat(st["mass"], jnp.where(g_ok, ghosts[1], 0.0))
+        mass_a = cat(gsrc_mass, jnp.where(g_ok, ghosts[1], 0.0))
         valid_a = cat(valid, g_ok)
 
         # ---- closing set (hierarchical): rows whose bin interval
@@ -461,6 +493,17 @@ def build_sharded_step(mesh, *, n_local, with_gas, hops_ghost, hops_pm,
                 closing,
                 jnp.sqrt(jnp.sum(full_acc * full_acc, axis=-1)),
                 st["amag"])
+            if with_potential:
+                # record the tree part for rows closing their bin and
+                # combine with the carried PM potential — the BH
+                # min-pot argmin and the Potential output block need
+                # the TOTAL (gravshort-tree.c:137), not PM alone
+                st["tree_pot"] = jnp.where(
+                    closing,
+                    res.potential[:n_local]
+                    * jnp.float32(gconst / boxsize),
+                    st["tree_pot"])
+                st["potential"] = st["tree_pot"] + st["pm_pot"]
             pk = None
             pm_far = res.compact_overflow
         else:
@@ -479,18 +522,25 @@ def build_sharded_step(mesh, *, n_local, with_gas, hops_ghost, hops_pm,
             dring = jnp.minimum(dring, S - dring)
             pm_far = jnp.any(valid & (dring > hops_pm))
             res_pm = pm_force_multi(
-                st["ipos"], jnp.where(valid, st["mass"], 0.0), nmesh,
+                st["ipos"], jnp.where(valid, gsrc_mass, 0.0), nmesh,
                 boxsize, gconst, asmth, "x", hops_pm,
                 nu_logk=scal["nu_logk"] if with_nu else None,
                 nu_fac=scal["nu_fac"] if with_nu else None,
                 nbins=nbins, with_potential=with_potential)
             acc_pm, pk = res_pm[0], res_pm[1]
+            if with_nu_tracer:
+                # tracers receive no PM force
+                acc_pm = acc_pm * tr_w[:, None]
             if with_potential:
                 # total potential = long-range PM + short-range tree
                 # (P.Potential semantics, gravshort-tree.c:137) — the
                 # kernel-scale min-pot argmin needs the tree part.
                 # tree_force returns box-unit potential; scale by
-                # G/box like TreeGravity.compute.
+                # G/box like TreeGravity.compute.  pm_pot carries the
+                # PM part alone: the host mirror stores it in
+                # pdata.potential (whose single-device semantics are
+                # PM-only, tree re-added at output).
+                st["pm_pot"] = res_pm[2]
                 st["potential"] = res.potential[:n_local] \
                     * jnp.float32(gconst / boxsize) + res_pm[2]
             grav_acc = acc_tree + acc_pm
@@ -796,7 +846,9 @@ def build_sharded_step(mesh, *, n_local, with_gas, hops_ghost, hops_pm,
     if hierarchical:
         state_keys += ["bins", "pm_acc"]
     if with_potential:
-        state_keys += ["potential"]
+        state_keys += ["potential", "pm_pot"]
+        if hierarchical:
+            state_keys += ["tree_pot"]
     if with_gas:
         state_keys += ["gas_mask", "hsml", "entropy", "dtent",
                        "density", "egywt", "divv", "curlv",
@@ -833,6 +885,8 @@ def build_sharded_step(mesh, *, n_local, with_gas, hops_ghost, hops_pm,
         scal_keys += ["rng"]
     if with_nu and not hierarchical:
         scal_keys += ["nu_logk", "nu_fac"]
+    if with_nu_tracer:
+        scal_keys += ["nu_src"]
     scal_spec = {k: P() for k in scal_keys}
     fn = shard_map(step_local, mesh=mesh,
                    in_specs=(in_state_spec, P(), scal_spec),

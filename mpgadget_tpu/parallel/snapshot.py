@@ -15,9 +15,10 @@ rank.  A snapshot written here is byte-identical to the single-writer
 snapshot after a row sort by ID (tests/test_parallel.py).
 
 The block set is driven by the sharded-state keys (the sharded
-run carries exactly the registry state, io/registry.py); Potential is
-output-only in the reference (petaio.c OutputPotential) and is not
-carried by the sharded state, so it is omitted here.
+run carries exactly the registry state, io/registry.py); with
+OutputPotential (the default) the sharded state carries the total
+tree+PM potential column and the Potential block is written like the
+single-writer path (petaio.c OutputPotential).
 """
 
 import os
@@ -139,6 +140,11 @@ def species_block_table(state, t, *, atime, boxsize, ipos_offset,
         ("ID", "pid", "<u8", None),
         ("Mass", "mass", "<f4", None),
     ]
+    if "potential" in state:
+        # total tree+PM potential carried by the sharded state
+        # (OutputPotential, petaio.c Potential registration +
+        # gravshort-tree.c:137 tree term)
+        table.append(("Potential", "potential", "<f4", None))
     if t == 0 and with_gas:
         table += [
             ("SmoothingLength", "hsml", "<f4", None),
@@ -268,8 +274,20 @@ def write_pig_sharded(sim, mesh, state, n_local, labels,
         sort_key = ("pig_sort", tuple(keys))
         if sort_key not in cache:
             def sort_fn(gi_, arrays, sel):
-                return sharded_sort(gi_, arrays, sel, "x",
-                                    bucket_cap=n_local)
+                # composite (group rank << 34 | global row) key: the
+                # sampled splitters may then fall INSIDE a group, so
+                # one group's members can span stripe/shard boundaries
+                # in the GrNr-sorted order — the analog of
+                # fof_distribute_particles redistributing a giant
+                # group across ranks (fofpetaio.c:291) instead of
+                # capping a group at one shard's rows.
+                gid = lax.axis_index("x").astype(jnp.int64) * n_local \
+                    + jnp.arange(n_local, dtype=jnp.int64)
+                key = (gi_.astype(jnp.int64) << 34) | gid
+                k_s, arrays_s, valid_s, ovf = sharded_sort(
+                    key, arrays, sel, "x", bucket_cap=n_local)
+                return (k_s >> 34).astype(jnp.int32), arrays_s, \
+                    valid_s, ovf
             cache[sort_key] = jax.jit(shard_map(
                 sort_fn, mesh=mesh,
                 in_specs=(P("x"), {k: P("x") for k in keys}, P("x")),
@@ -280,6 +298,9 @@ def write_pig_sharded(sim, mesh, state, n_local, labels,
         gi_s, arrays_s, valid_s, ovf = cache[sort_key](
             gi, {k: state[k] for k in keys}, sel)
         if int(np.asarray(ovf)):
+            # splitter-sampling imbalance only (a group can no longer
+            # overflow a shard by itself); the caller's host fallback
+            # remains as a safety net
             return None
         pack_key = ("pig_pack", tuple(keys))
         if pack_key not in cache:

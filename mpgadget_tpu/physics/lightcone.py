@@ -64,9 +64,48 @@ def _cross_mask(pos, vel, rep, ddrift, hd_prev2, hd2, hd_prev, hd,
     return hit, p3
 
 
+def build_sharded_cross(mesh, *, cap):
+    """Per-shard horizon-crossing detection + compaction
+    (lightcone_compute at scale, lightcone.c:176-221): each shard
+    tests only its OWN rows against one replica's shell — the
+    reference computes crossings rank-locally too — and compacts the
+    rare crossers into a fixed ``cap``-row buffer.  The host appends
+    each process's addressable shards to that process's stripe file:
+    no global gather, host peak memory O(cap) per shard.  Overflow
+    (more crossers than cap on any shard) is psum'd; the caller
+    doubles cap and retries, like every other capacity."""
+    from jax import lax
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    def local(st, scal):
+        pos = (st["ipos"] - scal["off"][None, :]).astype(jnp.float32) \
+            * jnp.float32(2.0 ** -32) * scal["box"]
+        hit, p3 = _cross_mask(
+            pos, st["vel"], scal["rep"], scal["ddrift"],
+            scal["hd_prev2"], scal["hd2"], scal["hd_prev"],
+            scal["hd"], scal["samplefrac"], st["pid"])
+        hit = hit & st["valid"] & (st["ptype"] == 1)
+        cnt = jnp.sum(hit.astype(jnp.int32))
+        order = jnp.argsort(~hit, stable=True)[:cap]
+        ovf = lax.psum((cnt > cap).astype(jnp.int32), "x")
+        return p3[order], hit[order], ovf
+
+    st_keys = ("ipos", "vel", "valid", "ptype", "pid")
+    scal_keys = ("off", "box", "rep", "ddrift", "hd_prev2", "hd2",
+                 "hd_prev", "hd", "samplefrac")
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=({k: P("x") for k in st_keys},
+                  {k: P() for k in scal_keys}),
+        out_specs=(P("x"), P("x"), P()),
+        check_vma=False)
+    return jax.jit(fn)
+
+
 class Lightcone:
     def __init__(self, CP, time_begin, unit_velocity_in_cm_s, outdir,
-                 boxsize):
+                 boxsize, task=0):
         self.CP = CP
         self.boxsize = boxsize
         nentry = 512
@@ -84,9 +123,11 @@ class Lightcone:
                 la, 0.0, epsabs=0, epsrel=1e-7, limit=200)
             dc[i] = light * val
         self.tab_dc = dc
-        d = os.path.join(outdir, "lightcone", "000")
+        # one raw stripe per task, the reference's per-rank layout
+        # (lightcone.c:99-108 "%03d/lightcone-%05d.raw")
+        d = os.path.join(outdir, "lightcone", f"{task // 1000:03d}")
         os.makedirs(d, exist_ok=True)
-        self.path = os.path.join(d, "lightcone-00000.raw")
+        self.path = os.path.join(d, f"lightcone-{task:05d}.raw")
         self.fd = open(self.path, "ab")
         self.hd = self.hd2 = 0.0
         self.hd_prev = self.hd_prev2 = 0.0
@@ -131,6 +172,22 @@ class Lightcone:
                     if d1 <= self.hd_prev2 and d2 >= self.hd2:
                         reps.append((rx * L, ry * L, rz * L))
         return reps
+
+    def append_rows(self, rows_xyz):
+        """Append crossing rows (float x,y,z; host side) to this
+        task's stripe with the current SampleFraction column — the
+        raw-append half of lightcone_cross used by the sharded path,
+        which detects crossers on device per shard."""
+        if len(rows_xyz) == 0:
+            return 0
+        out = np.concatenate(
+            [np.asarray(rows_xyz, np.float64),
+             np.full((len(rows_xyz), 1), self.sample_fraction)],
+            axis=1)
+        self.fd.write(out.tobytes())
+        self.fd.flush()
+        self.n_written += len(rows_xyz)
+        return len(rows_xyz)
 
     def compute(self, a, ddrift, pos, vel, is_dm, pid):
         """Write the particles crossing the horizon this step

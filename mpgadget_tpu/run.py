@@ -134,6 +134,12 @@ class SimConfig:
     # massive neutrinos (linear response)
     massive_nu_lin_resp_on: bool = False
     m_nu: tuple = (0.0, 0.0, 0.0)
+    # hybrid neutrinos (cosmology.c:32-34, run.c:170-175): type-2
+    # particles carry the slow F-D tail; before nu_part_time they are
+    # passive tracers excluded from gravity sources and the PM force
+    hybrid_neutrinos_on: bool = False
+    hybrid_vcrit: float = 500.0
+    hybrid_nu_part_time: float = 0.3333333
     # black holes
     black_hole_on: bool = False
     bh_accretion_factor: float = 100.0
@@ -163,6 +169,10 @@ class SimConfig:
     time_limit_cpu: float = 0.0
     auto_snapshot_time: float = 0.0
     output_energy_debug: bool = False
+    # OutputPotential (params.py:95): write the Potential block in
+    # snapshots; drives the sharded state's potential column so the
+    # striped writer matches the single-writer block set
+    output_potential: bool = True
     # FOF
     part_alloc_factor: float = 1.5
     bytes_per_file: int = 1 << 30      # output striping (BytesPerFile)
@@ -269,6 +279,11 @@ class Simulation:
             MNu=tuple(cfg_kwargs.get("m_nu", (0.0, 0.0, 0.0))),
             MassiveNuLinRespOn=bool(
                 cfg_kwargs.get("massive_nu_lin_resp_on", False)),
+            HybridNeutrinosOn=bool(
+                cfg_kwargs.get("hybrid_neutrinos_on", False)),
+            HybridVcrit=float(cfg_kwargs.get("hybrid_vcrit", 500.0)),
+            HybridNuPartTime=float(
+                cfg_kwargs.get("hybrid_nu_part_time", 0.3333333)),
             TimeBegin=header.Time,
         ).init_units(units)
         cfg_kwargs = dict(cfg_kwargs)
@@ -377,12 +392,21 @@ class Simulation:
         """Long-range PM force (+ short-range tree when enabled)."""
         weights = jnp.where(self.pdata.valid, self.pdata.mass,
                             jnp.float32(0))
+        # hybrid-nu passive tracers: before NuPartTime type-2 rows
+        # neither source nor receive the PM force
+        # (hybrid_nu_gravpm_is_active, gravpm.c:83-85,469-475)
+        nu_tracer = self.CP.hybrid_nu_tracer(self.atime)
+        if nu_tracer:
+            weights = jnp.where(self.pdata.ptype == 2, 0.0, weights)
         nu_table = None
         if self.cfg.massive_nu_lin_resp_on:
             nu_table = self._neutrino_response(weights)
         self.walltime.start("PMgrav")
         accel, pot, ps = pm_force(self.pdata.ipos, weights, self.pm_cfg,
                                   nu_table=nu_table)
+        if nu_tracer:
+            accel = jnp.where((self.pdata.ptype == 2)[:, None], 0.0,
+                              accel)
         self.walltime.stop("PMgrav")
         if self.cfg.massive_nu_lin_resp_on and ps is not None:
             # The modes were scaled by nufac (total matter) but the
@@ -430,8 +454,7 @@ class Simulation:
         if self._tree_grav is None:
             # softening in units of mean DM separation
             # (gravshort_set_softenings, gravshort-tree.c:43-50)
-            mean_sep = self.cfg.boxsize / max(
-                1.0, np.cbrt(float(np.asarray(self.pdata.num_valid))))
+            mean_sep = self._dm_mean_sep()
             self._tree_grav = TreeGravity(
                 boxsize=self.cfg.boxsize, nmesh=self.cfg.nmesh,
                 asmth=self.cfg.asmth, rcut=self.cfg.rcut,
@@ -466,12 +489,26 @@ class Simulation:
             cap = 1 << (max(1, want) - 1).bit_length()
             if cap <= nb // 2:
                 active_cap = cap
+        pd = self.pdata
+        if self.CP.hybrid_nu_tracer(self.atime):
+            # tracer-nu mass excluded from tree moments
+            # (force_tree_active_moments HybridNuGrav path,
+            # forcetree.c:162 + timestep.c:282-287)
+            pd = pd.replace(mass=jnp.where(pd.ptype == 2, 0.0,
+                                           pd.mass))
         for attempt in range(8):
-            accel = self._tree_grav.compute(self.pdata,
+            # a failed (overflowed) attempt must not consume the
+            # "BH opening on the first call" state (TreeUseBH=2):
+            # retrying with use_bh already flipped but amag still zero
+            # degrades the opening to the max-angle cap and the retry
+            # silently returns ~10% force errors (no overflow flag)
+            bh_prev = self._tree_grav._use_bh_now
+            accel = self._tree_grav.compute(pd,
                                             target_active=active,
                                             active_block_cap=active_cap)
             if active_cap is not None and bool(
                     self._tree_grav.last_compact_overflow):
+                self._tree_grav._use_bh_now = bh_prev
                 observed = int(self._tree_grav.last_n_active_blocks)
                 want = max(observed, active_cap * 2)
                 active_cap = 1 << (want - 1).bit_length()
@@ -484,6 +521,7 @@ class Simulation:
                     obs = int(self._tree_grav.last_n_active_blocks)
                     self._active_cap_hint = max(4, (obs * 5) // 4)
                 break
+            self._tree_grav._use_bh_now = bh_prev
             wc = self._tree_grav.walk_cfg
             self._tree_grav.walk_cfg = dc_replace(
                 wc, leaf_list_max=wc.leaf_list_max * 2,
@@ -510,10 +548,23 @@ class Simulation:
     def gas_mask(self):
         return self.pdata.valid & (self.pdata.ptype == 0)
 
+    def _dm_mean_sep(self):
+        """Mean type-1 (DM) inter-particle separation: the reference
+        sets the ONE global gravitational softening from
+        MeanSeparation[1] (init.c:117 -> gravshort_set_softenings,
+        gravshort-tree.c:43-50), so gas/star/nu counts must not move
+        it.  Falls back to the all-species count for DM-free boxes
+        (gas-only test setups)."""
+        nd = float(np.asarray(jnp.sum(
+            (self.pdata.valid
+             & (self.pdata.ptype == 1)).astype(jnp.int32))))
+        if nd < 1.0:
+            nd = max(1.0, float(np.asarray(self.pdata.num_valid)))
+        return self.cfg.boxsize / np.cbrt(nd)
+
     def _density_params(self):
         from .sph.density import DensityParams
-        mean_sep = self.cfg.boxsize / max(
-            1.0, np.cbrt(float(np.asarray(self.pdata.num_valid))))
+        mean_sep = self._dm_mean_sep()
         softening = self.cfg.gravity_softening * mean_sep
         return DensityParams(
             kernel_type=self.cfg.density_kernel_type,
@@ -1195,9 +1246,7 @@ class Simulation:
         mid = t0 + dti_pm // 2
         self._apply_pm_half_kick(t0, mid)
 
-        npart = float(np.asarray(self.pdata.num_valid))
-        mean_sep = self.cfg.boxsize / max(1.0, np.cbrt(npart))
-        soft = 2.8 * self.cfg.gravity_softening * mean_sep
+        soft = 2.8 * self.cfg.gravity_softening * self._dm_mean_sep()
         bins = assign_particle_bins(
             self.pdata, self.sph if self._gas_initialized else None,
             self.gas_mask, self.CP, self.atime, soft, self.timeline,
@@ -1368,7 +1417,17 @@ class Simulation:
         # column (pm_force_multi with_potential) and the BH pass jumps
         # each BH to its kernel min-pot neighbor (bhdynfric.c:199 +
         # drift.c:32-49)
-        with_potential = bool(with_bh and self.cfg.bh_reposition)
+        with_potential = bool((with_bh and self.cfg.bh_reposition)
+                              or self.cfg.output_potential)
+        # hybrid neutrinos: the step carries a 0/1 scalar that turns
+        # type-2 rows from passive tracers into gravitating particles
+        # at NuPartTime (hybrid_nu_tracer, gravpm.c:83-85) with no
+        # recompile
+        with_nu_tracer = bool(self.cfg.hybrid_neutrinos_on)
+
+        def nu_src_scalar(a):
+            return jnp.float32(
+                0.0 if self.CP.hybrid_nu_tracer(a) else 1.0)
         # QSO helium reionization and the excursion-set UVBG carry
         # per-row columns (HeIII flag / J21+zreion) so bubbles and
         # grid readouts run on the sharded rows (cooling_qso_lightup.c
@@ -1438,7 +1497,15 @@ class Simulation:
                 "grav_acc": pad(acc0),
             }
             if with_potential:
+                # split carry: pdata.potential holds the PM part
+                # (single-device semantics); the tree part is added
+                # in-driver (global step) or per closing bin
+                # (hierarchical tree_pot)
                 state["potential"] = pad(self.pdata.potential)
+                state["pm_pot"] = pad(self.pdata.potential)
+                if hierarchical:
+                    state["tree_pot"] = pad(jnp.zeros(
+                        self.pdata.capacity, jnp.float32))
             if hierarchical:
                 # hierarchical stepping kicks tree and PM at different
                 # cadences: grav_acc is tree-only, pm_acc carries the
@@ -1702,8 +1769,7 @@ class Simulation:
                 # total potential (tree+PM) for BH min-pot jumps; the
                 # hierarchical substep carries PM-only potential (the
                 # tree runs per closing bin, no full refresh)
-                tree_kwargs["with_potential"] = bool(
-                    with_potential and not hierarchical)
+                tree_kwargs["with_potential"] = bool(with_potential)
                 dpar = self._density_params()
                 from .sph.hydra import HydroParams
                 hpar = HydroParams(
@@ -1734,6 +1800,7 @@ class Simulation:
                     sfr_fn=sfr_fn, wind_fn=wind_fn,
                     hierarchical=hierarchical, active_block_cap=acap,
                     with_potential=with_potential,
+                    with_nu_tracer=with_nu_tracer,
                     extra_state_keys=(
                         (("metals", "star_hsml",
                           "total_mass_returned",
@@ -1760,7 +1827,8 @@ class Simulation:
                     nmesh=self.cfg.nmesh, boxsize=self.cfg.boxsize,
                     gconst=self.CP.GravInternal, asmth=self.cfg.asmth,
                     hist_bits=hist_bits, with_gas=with_gas,
-                    with_potential=with_potential)
+                    with_potential=with_potential,
+                    with_nu_tracer=with_nu_tracer)
             return pm_cache[hops_pm]
 
         windnb_cache = {}
@@ -1770,12 +1838,10 @@ class Simulation:
             from .parallel.winds import build_sharded_winds
             key = windnb_bp["nstar_cap"]
             if key not in windnb_cache:
-                npart0 = max(float(np.asarray(self.pdata.num_valid)),
-                             1.0)
                 windnb_cache[key] = build_sharded_winds(
                     device_mesh, n_local=n_local, nstar_cap=key,
                     par=self._winds, boxsize=self.cfg.boxsize,
-                    mean_sep=self.cfg.boxsize / np.cbrt(npart0))
+                    mean_sep=self._dm_mean_sep())
             return windnb_cache[key]
 
         bh_cache = {}
@@ -1928,7 +1994,9 @@ class Simulation:
             else:
                 upd["grav_pm"] = jnp.zeros_like(upd["grav_accel"])
             if with_potential:
-                upd["potential"] = take("potential")
+                # PM part only: write_snapshot re-adds the tree term
+                # at output like the single-device loop
+                upd["potential"] = take("pm_pot")
             if with_gas:
                 upd["hsml"] = take("hsml")
                 upd["dt_hsml"] = take("dt_hsml")
@@ -2023,9 +2091,7 @@ class Simulation:
             nonlocal state
             dloga_f = float(loga(t1) - loga(t0))
             hub1 = float(self.CP.hubble_function(a1))
-            nv = max(float(n_valid_f), 1.0)
-            soft = self.cfg.gravity_softening * self.cfg.boxsize \
-                / max(round(nv ** (1.0 / 3)), 1)
+            soft = self.cfg.gravity_softening * self._dm_mean_sep()
             scal_bh = {
                 "atime": jnp.float32(a1),
                 "dtime": jnp.float32(dloga_f / hub1),
@@ -2532,9 +2598,8 @@ class Simulation:
             from .timeline import get_timestep_bin
             from .parallel.driver import MAXB
             par_ts = self.cfg.timestep
-            npart0 = max(float(np.asarray(self.pdata.num_valid)), 1.0)
             soft_h = 2.8 * self.cfg.gravity_softening \
-                * (self.cfg.boxsize / max(1.0, np.cbrt(npart0)))
+                * self._dm_mean_sep()
             group_sz = int(tg.tree_cfg.group_max)
             pm_stats = None
             nsteps = 0
@@ -2589,6 +2654,8 @@ class Simulation:
                         self.timeline._interval_dloga(ti)),
                     "maxbin": jnp.int32(maxbin),
                 }
+                if with_nu_tracer:
+                    scal["nu_src"] = nu_src_scalar(a1s)
                 if with_cooling or with_sfr:
                     z1 = 1.0 / a1s - 1.0
                     uv = self._treecool.get_global_uvbg(z1)
@@ -2741,13 +2808,16 @@ class Simulation:
                 a1 = float(np.exp(loga(t1)))
                 pm_sub_keys = ("ipos", "vel", "mass", "valid",
                                "ptype", "grav_acc") + (
-                    ("gas_mask", "hsml") if with_gas else ())
+                    ("gas_mask", "hsml") if with_gas else ()) + (
+                    ("tree_pot",) if with_potential else ())
+                pm_scal = {"fac": jnp.float32(
+                    self.tf.gravkick(mid, t1))}
+                if with_nu_tracer:
+                    pm_scal["nu_src"] = nu_src_scalar(a1)
                 for attempt in range(1 + S // 2):
                     pm_fn = get_pm_fn(bounds_np)
                     upd_pm, pm_stats, pm_far = pm_fn(
-                        {k: state[k] for k in pm_sub_keys},
-                        {"fac": jnp.float32(
-                            self.tf.gravkick(mid, t1))})
+                        {k: state[k] for k in pm_sub_keys}, pm_scal)
                     if not int(pm_far):
                         break
                     bp["pm_extra"] += 1
@@ -2840,6 +2910,8 @@ class Simulation:
                 scal["rng"] = jax.random.PRNGKey(
                     (self.cfg.random_seed + self.ti_current)
                     % (2 ** 31))
+            if with_nu_tracer:
+                scal["nu_src"] = nu_src_scalar(a1)
             bounds_dev = jnp.asarray(bounds_np)
             for attempt in range(8):
                 step = get_step(bounds_np)
@@ -3389,9 +3461,7 @@ class Simulation:
         nmerge = 0
         if nbh > 1:
             is_bh_now = self.pdata.valid & (self.pdata.ptype == 5)
-            soft = self.cfg.gravity_softening * self.cfg.boxsize \
-                / max(round(float(np.sum(
-                    np.asarray(self.pdata.valid))) ** (1. / 3)), 1)
+            soft = self.cfg.gravity_softening * self._dm_mean_sep()
             merge = bhmod.bh_mergers(
                 par,
                 pos=fixed_to_pos(np.asarray(self.pdata.ipos),

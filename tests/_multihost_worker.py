@@ -42,14 +42,23 @@ def main():
         np.ones(n, np.int32), np.arange(n) + 1, box)
     cp = Cosmology(Omega0=0.3, OmegaLambda=0.7, HubbleParam=0.7,
                    TimeBegin=0.1).init_units(units)
+    with_io = os.environ.get("MPG_IO", "") == "1"
+    # MPG_IO: a SHORT run to the output time — the point is the
+    # collective striped snapshot + distributed FOF + PIG across
+    # processes at the sync point, not the stepping
+    tl = Timeline([0.103], TimeIC=0.1, TimeMax=0.103) if with_io \
+        else Timeline([0.2], TimeIC=0.1, TimeMax=0.2)
     cfg = SimConfig(boxsize=box, nmesh=16,
                     output_dir=os.environ["MPG_OUT"],
-                    timeline=Timeline([0.2], TimeIC=0.1, TimeMax=0.2),
+                    timeline=tl,
                     units=units, hydro_on=False, tree_grav_on=True,
-                    random_particle_offset=0.0)
+                    random_particle_offset=0.0,
+                    snapshot_with_fof=with_io,
+                    fof_min_group_length=32)
     sim = Simulation(cp, pdata, cfg, time_ic=0.1)
     mesh = Mesh(np.array(jax.devices()), ("x",))
-    nsteps = sim.run_sharded(mesh, max_steps=2, verbose=False)
+    max_steps = None if with_io else 2
+    nsteps = sim.run_sharded(mesh, max_steps=max_steps, verbose=False)
     v = np.asarray(sim.pdata.vel)
     val = np.asarray(sim.pdata.valid)
     chk = float((v[val] ** 2).sum())

@@ -62,6 +62,9 @@ QUICK_MODULES = {
     "test_morton_cic.py", "test_cooling.py", "test_fof.py",
     "test_pm_gravity.py", "test_tools.py", "test_lightcone.py",
     "test_neutrinos.py", "test_qso_lightup.py", "test_plane.py",
+    # round-4 parallel modules: striped writer + distributed FOF
+    # small-box representatives (parallel/snapshot.py, parallel/fof.py)
+    "test_quick_parallel.py",
 }
 QUICK_TESTS = {
     # sharded-module representatives (parallel/: pfft, decomp,
@@ -73,6 +76,9 @@ QUICK_TESTS = {
     "test_sharded_sort_global_order",
     "test_sharded_sph_density_matches_single",
     "test_sharded_winds_match_single",
+    # parallel/blackhole.py representative (the promised BH agreement
+    # test; accretion/dynfric/swallow/feedback vs single device)
+    "test_sharded_bh_matches_single",
 }
 
 

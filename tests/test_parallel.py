@@ -6,6 +6,8 @@ analog) and the full sharded TreePM step — each checked for numerical
 agreement with the single-device path.
 """
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -1474,6 +1476,17 @@ def test_run_sharded_striped_snapshot(mesh8, tmp_path):
             np.testing.assert_array_equal(
                 np.asarray(a_s)[o_s], np.asarray(a_h)[o_h],
                 err_msg=f"{t}/{name}")
+        # Potential present in BOTH writers (OutputPotential default;
+        # petaio.c Potential + gravshort-tree.c:137 tree term); the
+        # sharded column sums tree+PM in-driver while the host writer
+        # re-derives the tree part on the mirror, so compare to walk
+        # rounding rather than bytes
+        p_s = bf_s.open(f"{t}/Potential").read()
+        p_h = bf_h.open(f"{t}/Potential").read()
+        scale = np.abs(p_h).max()
+        np.testing.assert_allclose(p_s[o_s], p_h[o_h],
+                                   atol=2e-5 * scale, rtol=2e-4,
+                                   err_msg=f"{t}/Potential")
         # stripes: one file per shard
         blk = bf_s.open(f"{t}/Position")
         assert blk.Nfile == NDEV
@@ -1563,12 +1576,165 @@ def test_run_sharded_fof_sync_and_seeding(mesh8, tmp_path):
     np.testing.assert_allclose(bhm, 0.05, rtol=1e-6)
 
 
+def test_run_sharded_lightcone_matches_single(mesh8, tmp_path):
+    """Sharded lightcone (lightcone.c:176-221 at scale): per-shard
+    crossing detection + per-process stripe append with NO global
+    gather.  On a crossing-rich box (z~1.2, horizon sweeping through
+    the replicas) the union of sharded stripe rows equals the
+    single-device output row-for-row (matched by position; the two
+    paths round u32->f32 differently at the ~1e-7 level)."""
+    from mpgadget_tpu.run import Simulation, SimConfig
+    from mpgadget_tpu.particles import ParticleData
+    from mpgadget_tpu.cosmology import Cosmology
+    from mpgadget_tpu.timeline import Timeline
+    from mpgadget_tpu.timestep import TimestepParams
+    from mpgadget_tpu.utils import get_unitsystem, constants as C
+
+    units = get_unitsystem(C.CM_PER_KPC, 1.989e43, 1e5)
+    rng = np.random.RandomState(5)
+    box = 1.0e6                      # 1 Gpc/h: horizon ~2.6 boxes
+    ng = 10
+    n = ng ** 3
+    grid = (np.stack(np.meshgrid(*[np.arange(ng)] * 3),
+                     axis=-1).reshape(-1, 3) + 0.5) / ng * box
+    pos = np.mod(grid + rng.uniform(-0.02, 0.02, (n, 3)) * box, box)
+    vel = rng.randn(n, 3).astype(np.float64) * 100.0
+    cp = Cosmology(Omega0=0.3, OmegaLambda=0.7, HubbleParam=0.7,
+                   OmegaBaryon=0.05, TimeBegin=0.45).init_units(units)
+
+    def mk(sub):
+        pd = ParticleData.from_numpy(
+            pos, vel, np.full(n, 10.0), np.ones(n, np.int32),
+            np.arange(n) + 1, box)
+        c = SimConfig(
+            boxsize=box, nmesh=16, output_dir=str(tmp_path / sub),
+            timeline=Timeline([0.48], TimeIC=0.45, TimeMax=0.48),
+            units=units, hydro_on=False, tree_grav_on=True,
+            random_particle_offset=0.0, lightcone_on=True,
+            timestep=TimestepParams(MaxSizeTimestep=0.02))
+        return Simulation(cp, pd, c, time_ic=0.45)
+
+    sim_p = mk("p")
+    sim_p.run_sharded(mesh8, verbose=False)
+    sim_s = mk("s")
+    sim_s.run(verbose=False)
+
+    def read_rows(sub):
+        import glob
+        rows = []
+        for f in sorted(glob.glob(str(
+                tmp_path / sub / "lightcone" / "*" / "*.raw"))):
+            rows.append(np.fromfile(f, np.float64).reshape(-1, 4))
+        return np.concatenate(rows) if rows else np.zeros((0, 4))
+
+    rp = read_rows("p")
+    rs = read_rows("s")
+    assert len(rs) > 50, f"box not crossing-rich ({len(rs)} rows)"
+    # the two paths round u32->f32 positions differently (~1e-7
+    # relative), so a row exactly ON the shell edge may flip its hit
+    # test in one path only — allow a per-mille of unmatched rows
+    assert abs(len(rp) - len(rs)) <= max(2, len(rs) // 500), \
+        (len(rp), len(rs))
+    op = np.lexsort(rp[:, :3].T)
+    os_ = np.lexsort(rs[:, :3].T)
+    m = min(len(rp), len(rs))
+    bad = 0
+    i = j = 0
+    # two-pointer walk over the lexsorted sets: count rows without a
+    # within-2kpc partner
+    a, b = rp[op], rs[os_]
+    while i < len(a) and j < len(b):
+        if np.all(np.abs(a[i] - b[j]) <= 2.0):
+            i += 1
+            j += 1
+        elif tuple(a[i, :3]) < tuple(b[j, :3]):
+            bad += 1
+            i += 1
+        else:
+            bad += 1
+            j += 1
+    bad += (len(a) - i) + (len(b) - j)
+    assert bad <= max(4, m // 500), f"{bad} unmatched rows of {m}"
+
+
+def test_pig_giant_group_spans_shards(mesh8, tmp_path):
+    """PIG output when ONE group holds more members than a shard's
+    row capacity (n_local): the composite-key member sort lets the
+    group span stripe/shard boundaries (fofpetaio.c:291
+    fof_distribute_particles analog) — no host-mirror fallback, and
+    the striped block layout (one stripe per shard) proves the
+    collective writer ran."""
+    from mpgadget_tpu.run import Simulation, SimConfig
+    from mpgadget_tpu.particles import ParticleData
+    from mpgadget_tpu.cosmology import Cosmology
+    from mpgadget_tpu.timeline import Timeline
+    from mpgadget_tpu.io.bigfile import BigFile
+    from mpgadget_tpu.utils import get_unitsystem, constants as C
+
+    units = get_unitsystem(C.CM_PER_KPC, 1.989e43, 1e5)
+    rng = np.random.RandomState(17)
+    box = 8000.0
+    n_bg = 512
+    n_clump = 900           # > n_local = 512 for this capacity
+    mean_sep = box / np.cbrt(n_bg + n_clump)
+    ll = 0.2 * mean_sep
+    clump = np.array([box / 2, box / 2, box / 2]) \
+        + rng.randn(n_clump, 3) * ll * 0.7
+    pos = np.mod(np.concatenate(
+        [rng.uniform(0, box, (n_bg, 3)), clump]), box)
+    n = len(pos)
+    pdata = ParticleData.from_numpy(
+        pos, np.zeros((n, 3)), np.full(n, 2.0),
+        np.ones(n, np.int32), np.arange(n) + 1, box)
+    cp = Cosmology(Omega0=0.3, OmegaLambda=0.7, HubbleParam=0.7,
+                   OmegaBaryon=0.05, TimeBegin=0.1).init_units(units)
+    cfg = SimConfig(
+        boxsize=box, nmesh=16, output_dir=str(tmp_path),
+        timeline=Timeline([0.105], TimeIC=0.1, TimeMax=0.105),
+        units=units, hydro_on=False, tree_grav_on=True,
+        random_particle_offset=0.0, snapshot_with_fof=True,
+        fof_min_group_length=32)
+    sim = Simulation(cp, pdata, cfg, time_ic=0.1)
+    # the giant group really exceeds the per-shard row capacity
+    S = NDEV
+    n_local = int(np.ceil(2.0 * sim.pdata.capacity / S / 256)) * 256
+    assert n_clump > n_local, (n_clump, n_local)
+    sim.run_sharded(mesh8, verbose=False)
+
+    pig = tmp_path / "PIG_000"
+    assert pig.is_dir()
+    # collective striped write: one stripe file per shard — the host
+    # fallback writes single-file blocks
+    stripes = [s for s in os.listdir(str(pig / "1" / "Position"))
+               if s.isdigit()]
+    assert len(stripes) == S, stripes
+    bf = BigFile(str(pig))
+    masses = bf.open("FOFGroups/Mass").read()
+    lengths = bf.open("FOFGroups/LengthByType").read().sum(axis=1)
+    assert lengths.max() > n_local
+    gid1 = bf.open("1/GroupID").read()
+    assert np.all(np.diff(gid1.astype(np.int64)) >= 0), \
+        "PIG particle blocks must be GrNr-sorted"
+    # every member of every group present: counts match the catalog
+    ng, cnt = np.unique(gid1, return_counts=True)
+    np.testing.assert_array_equal(cnt, lengths[ng - 1])
+    # members agree with the single-device FOF of the same state
+    assert (gid1 == (np.argmax(masses) + 1)).sum() == lengths.max()
+
+
 def test_run_sharded_bh_reposition(mesh8, tmp_path):
     """BH min-potential repositioning at scale (bhdynfric.c:199-231 +
     drift.c:32-49): with bh_reposition=True the sharded state carries
     the PM potential column and the BH jumps exactly onto its kernel
     minimum-potential neighbor — the same row the single-device
-    semantics select from the mirrored state."""
+    semantics select from the mirrored state.
+
+    Adversarial placement: the BH sits just ABOVE the box midplane in
+    x and its true min-pot neighbor (the heavy clump) just BELOW it,
+    so with count-balanced slabs the jump target lives on the OTHER
+    side of a slab boundary — the scan must reach it through the
+    replicated-BH global reduction (treewalk.c:325 export semantics),
+    not just local rows."""
     from mpgadget_tpu.run import Simulation, SimConfig
     from mpgadget_tpu.particles import ParticleData
     from mpgadget_tpu.cosmology import Cosmology
@@ -1582,13 +1748,16 @@ def test_run_sharded_bh_reposition(mesh8, tmp_path):
     n_dm = ng ** 3
     grid = (np.stack(np.meshgrid(*[np.arange(ng)] * 3),
                      axis=-1).reshape(-1, 3) + 0.5) / ng * box
-    # a heavy DM clump => deep potential well near the BH
-    well = np.array([0.4 * box, 0.5 * box, 0.5 * box])
+    # a heavy DM clump => deep potential well near the BH; the well
+    # center sits 30 kpc BELOW the midplane (where the count-balanced
+    # boundary of an even shard count falls on a near-uniform box) and
+    # the BH 30 kpc ABOVE it: jump target and BH straddle a slab edge
+    well = np.array([0.5 * box - 30.0, 0.5 * box, 0.5 * box])
     pos = np.concatenate([
         grid + rng.uniform(-20, 20, (n_dm, 3)),
         well + rng.randn(32, 3) * 25.0,
         grid + box / ng / 2 + rng.uniform(-20, 20, (n_dm, 3)),
-        [well + 60.0 / np.sqrt(3.0)]]) % box
+        [well + np.array([60.0, 0.0, 0.0])]]) % box
     ptype = np.concatenate([
         np.ones(n_dm + 32, np.int32), np.zeros(n_dm, np.int32),
         [np.int32(5)]])
@@ -1636,7 +1805,13 @@ def test_run_sharded_bh_reposition(mesh8, tmp_path):
     # select the particle it sits on)
     valid = np.asarray(sim_p.pdata.valid)
     pt = np.asarray(sim_p.pdata.ptype)
-    pot = np.asarray(sim_p.pdata.potential)
+    # pdata.potential carries the PM part (single-device semantics);
+    # the jump argmin runs on the TOTAL tree+PM potential
+    # (gravshort-tree.c:137) — re-add the tree term exactly like the
+    # single-device reposition does (run.py bh reposition block)
+    _, tree_pot = sim_p._tree_grav.compute(
+        sim_p.pdata, return_potential=True)
+    pot = np.asarray(sim_p.pdata.potential) + np.asarray(tree_pot)
     pp = (np.asarray(sim_p.pdata.ipos).astype(np.float64)
           / 2 ** 32 * box)
     bhr = np.flatnonzero(valid & (pt == 5))[0]
